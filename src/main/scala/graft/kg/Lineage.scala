@@ -1,0 +1,66 @@
+package graft.kg
+
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Per-partition lineage + checkpoint/resume substrate (north rule; SURVEY.md
+ * §7.5) — the Spark-native replacement for the reference's pickle-cache
+ * keyed by config (reference: data/dataset.py:179-188, train.py:123-126).
+ *
+ * Each heavy stage writes outputs partitioned by a deterministic url-hash
+ * bucket; a JSON manifest per stage records which buckets are complete, with
+ * row counts in/out and error-channel counts. On restart the driver diffs
+ * manifest vs input buckets and schedules only the remainder — work units
+ * are idempotent because bucket membership is a pure function of url.
+ *
+ * Hand-rolled flat JSON (no deps); driver-side filesystem only. On a real
+ * cluster this path is the job's output directory on HDFS/S3 — the logic is
+ * identical, only the Path API changes.
+ */
+object Lineage {
+
+  final case class BucketRecord(bucket: Int, rowsOut: Long, errors: Long)
+
+  private def manifestPath(outDir: String, stage: String): Path =
+    Paths.get(outDir, "_manifest", s"$stage.json")
+
+  def doneBuckets(outDir: String, stage: String): Set[Int] =
+    read(outDir, stage).map(_.bucket).toSet
+
+  def read(outDir: String, stage: String): Seq[BucketRecord] = {
+    val p = manifestPath(outDir, stage)
+    if (!Files.exists(p)) return Seq.empty
+    val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+    // rows like {"bucket":3,"rowsOut":120,"errors":0}
+    "\\{\"bucket\":(\\d+),\"rowsOut\":(\\d+),\"errors\":(\\d+)\\}".r
+      .findAllMatchIn(txt)
+      .map(m => BucketRecord(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong))
+      .toSeq
+  }
+
+  /** Append (merge) records and atomically replace the manifest. */
+  def append(outDir: String, stage: String, records: Seq[BucketRecord]): Unit = {
+    val merged = (read(outDir, stage) ++ records)
+      .groupBy(_.bucket).map(_._2.last).toSeq.sortBy(_.bucket)
+    val p = manifestPath(outDir, stage)
+    Files.createDirectories(p.getParent)
+    val body = merged
+      .map(r => s"""{"bucket":${r.bucket},"rowsOut":${r.rowsOut},"errors":${r.errors}}""")
+      .mkString("[\n", ",\n", "\n]")
+    val tmp = p.resolveSibling(s"$stage.json.tmp")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def clear(outDir: String, stage: String): Unit = {
+    val p = manifestPath(outDir, stage)
+    if (Files.exists(p)) Files.delete(p)
+  }
+
+  def deleteRecursively(dir: String): Unit = {
+    val root = Paths.get(dir)
+    if (Files.exists(root))
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+}

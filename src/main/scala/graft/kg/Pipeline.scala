@@ -1,0 +1,234 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+
+/**
+ * End-to-end KG-construction pipeline (north rule): pages → extract →
+ * segment → mention-detect → featurize → score → link → dedup → graph.
+ *
+ * Scale design (SURVEY.md §7.3):
+ *  - pages flow through ONE fused narrow `mapPartitions` stage (extract
+ *    through score) — zero shuffles until linking/dedup. The reference's
+ *    length-bucketed batching (kbp.py:22-33) exists only to rectangularize
+ *    Theano tensors; the JVM kernel scores each sequence independently with
+ *    identical no-padding math, so no repartition-by-length is needed at
+ *    all — one less shuffle at 100 TB.
+ *  - the entity dictionary is broadcast (J5): dictionary ≪ corpus always.
+ *    A salted shuffle-join variant exists behind `salted=true` for the
+ *    dictionary-too-big-to-broadcast regime, with explicit hot-key salting.
+ *  - dedup (A9) is the single unavoidable wide shuffle; partial aggregation
+ *    (map-side combine) comes free from groupBy().agg(max, count).
+ */
+object Pipeline {
+
+  /** Everything the scoring kernel needs, broadcast once per job. */
+  final case class ScoringBundle(
+      word: VocabView, ner: VocabView, rel: VocabView,
+      gazetteer: Map[String, String], gazMaxLen: Int,
+      weights: ScorerWeights, typechecker: TypeChecker, scope: Int) extends Serializable
+
+  /** Driver-side deterministic construction of all side inputs (S6/S7 +
+    * gazetteer): frozen vocab, fixture weights, typecheck tensor. */
+  def buildBundle(seed: Long = 42L, scope: Int = -1): ScoringBundle = {
+    val vocabs = Gen.buildVocabs()
+    val typechecker = TypeChecker.fromRows(Gen.typecheckRows, vocabs)
+    val word = vocabs.word.view
+    val weights = ScorerWeights.fixture(
+      vocabSize = word.size, relSize = vocabs.rel.size, seed = seed)
+    val gaz = Gen.gazetteer
+    ScoringBundle(word, vocabs.ner.view, vocabs.rel.view,
+      gaz, gaz.keys.map(_.count(_ == ' ') + 1).max, weights, typechecker, scope)
+  }
+
+  /** Synthetic pages corpus, generated fully distributed (no driver data). */
+  def generatePages(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(n).map(i => Gen.page(seed, i))
+  }
+
+  /**
+   * The fused narrow stage: Page → scored relation candidates.
+   * P15 (`no_relation` suppression, kbp.py:61-62) applied in-kernel.
+   * Featurize failures follow the 'ignore' policy (P14, kbp.py:69-70),
+   * counted on an accumulator as the error channel.
+   */
+  def scorePages(spark: SparkSession, pages: Dataset[Page],
+      bundleBc: Broadcast[ScoringBundle],
+      errorAcc: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[ScoredPair] = {
+    import spark.implicits._
+    val errorCount = errorAcc.getOrElse(spark.sparkContext.longAccumulator("featurize_errors"))
+    pages.mapPartitions { it =>
+      val b = bundleBc.value
+      val scorer = new Scorer(b.weights, b.typechecker)
+      val noRelId = b.rel("no_relation")
+      it.flatMap { page =>
+        Segment.sentences(page.text).zipWithIndex.flatMap { case (sent, sentIdx) =>
+          val tokens = Segment.tokenize(sent)
+          val mentions = Segment.detectMentions(tokens, b.gazetteer, b.gazMaxLen)
+          Segment.candidatePairs(mentions).flatMap { case (s, o) =>
+            try {
+              val ex = Segment.toExample(tokens, s, o)
+              val feat = featurizeSent(ex, b)
+              val (relId, conf) = scorer.predict(feat._1, feat._2, feat._3)
+              if (relId == noRelId) None
+              else Some(ScoredPair(page.url, sentIdx, s.surface, s.ner, o.surface, o.ner,
+                b.rel.index2word(relId), conf))
+            } catch {
+              case _: NoPathException => errorCount.add(1); None
+              case _: NoSuchElementException => errorCount.add(1); None
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Sent-model featurization against frozen VocabViews (no mutation on
+    * executors) — same math as [[SentenceFeaturizer]] with add=false. */
+  private def featurizeSent(ex: SentenceExample, b: ScoringBundle): (Array[Int], Int, Int) = {
+    def isBetween(x: Int, start: Int, end: Int) = x >= start && x < end
+    if (isBetween(ex.subjectBegin, ex.objectBegin, ex.objectEnd) ||
+        isBetween(ex.objectBegin, ex.subjectBegin, ex.subjectEnd))
+      throw new NoPathException("overlapping spans")
+    val subjFirst = ex.subjectBegin < ex.objectBegin
+    val (fBegin, fEnd, fNer) =
+      if (subjFirst) (ex.subjectBegin, ex.subjectEnd, ex.subjectNer)
+      else (ex.objectBegin, ex.objectEnd, ex.objectNer)
+    val (sBegin, sEnd, sNer) =
+      if (subjFirst) (ex.objectBegin, ex.objectEnd, ex.objectNer)
+      else (ex.subjectBegin, ex.subjectEnd, ex.subjectNer)
+    val seq = (ex.words.slice(0, fBegin) :+ fNer) ++
+      ex.words.slice(fEnd, sBegin) ++ (sNer +: ex.words.slice(sEnd, ex.words.length))
+    var sequence = seq
+    if (b.scope > 0) {
+      val firstPos = fBegin
+      val secondPos = fBegin + 1 + (sBegin - fEnd)
+      val start = math.max(0, firstPos - b.scope)
+      val end = math.min(sequence.length, secondPos + b.scope + 1)
+      sequence = sequence.slice(start, end)
+    }
+    (sequence.map(b.word(_)).toArray, b.ner(ex.subjectNer), b.ner(ex.objectNer))
+  }
+
+  /** Entity dictionary as a DataFrame (J5 small side). */
+  def entityDict(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Gen.entityDictionary.toDF()
+  }
+
+  /**
+   * J5 entity linking: canonicalize both mention surfaces against the
+   * entity dictionary. Broadcast hash join — the dictionary is the small
+   * side by construction at any corpus scale.
+   */
+  def linkBroadcast(scored: Dataset[ScoredPair], dict: DataFrame): DataFrame = {
+    val subjDict = broadcast(dict.select(
+      col("surface").as("subjectSurface"), col("ner").as("subjectNer"),
+      col("entityId").as("subject_id")))
+    val objDict = broadcast(dict.select(
+      col("surface").as("objectSurface"), col("ner").as("objectNer"),
+      col("entityId").as("object_id")))
+    scored.toDF()
+      .join(subjDict, Seq("subjectSurface", "subjectNer"))
+      .join(objDict, Seq("objectSurface", "objectNer"))
+  }
+
+  /**
+   * J5 fallback for a dictionary too big to broadcast: shuffle join with
+   * EXPLICIT salting — the dict side is exploded ×`saltBuckets`, the big
+   * side gets a deterministic per-row salt, so a Zipf-hot surface
+   * ("united states") spreads over `saltBuckets` reducers instead of one.
+   * AQE skew-join handles moderate skew on its own; this is the
+   * belt-and-braces path for pathological keys (SURVEY.md §7.7.5).
+   */
+  def linkSalted(scored: Dataset[ScoredPair], dict: DataFrame, saltBuckets: Int = 8): DataFrame = {
+    val salts = explode(sequence(lit(0), lit(saltBuckets - 1))).as("salt")
+    val subjDict = dict.select(
+      col("surface").as("subjectSurface"), col("ner").as("subjectNer"),
+      col("entityId").as("subject_id"), salts)
+    val objDict = dict.select(
+      col("surface").as("objectSurface"), col("ner").as("objectNer"),
+      col("entityId").as("object_id"), salts)
+    val withSalt = scored.toDF()
+      .withColumn("salt", pmod(xxhash64(col("url"), col("sentIdx")), lit(saltBuckets)).cast("int"))
+    withSalt
+      .hint("shuffle_merge")
+      .join(subjDict, Seq("subjectSurface", "subjectNer", "salt"))
+      .join(objDict.hint("shuffle_merge"), Seq("objectSurface", "objectNer", "salt"))
+      .drop("salt")
+  }
+
+  /** A9 triple dedup: one triple per (subj, pred, obj), max confidence +
+    * supporting-sentence count. Partial aggregation map-side for free. */
+  def dedupTriples(linked: DataFrame): DataFrame =
+    linked.groupBy(col("subject_id"), col("relation"), col("object_id"))
+      .agg(max(col("confidence")).as("confidence"), count(lit(1)).as("support"))
+
+  /** A10 node table: distinct entity ids with NER type. */
+  def nodes(linked: DataFrame): DataFrame =
+    linked.select(col("subject_id").as("node_id"), col("subjectNer").as("ner"))
+      .unionByName(linked.select(col("object_id").as("node_id"), col("objectNer").as("ner")))
+      .distinct()
+
+  final case class RunReport(bucketsProcessed: Seq[Int], bucketsSkipped: Seq[Int],
+      triples: Long, nodes: Long, errors: Long)
+
+  /**
+   * Checkpointed end-to-end run with per-partition lineage (§7.5).
+   * Stage 1 (extract→score→link; all the compute) is resumable at url-hash
+   * bucket granularity; stage 2 (dedup + graph materialize — the one wide
+   * shuffle) reruns over the full raw-triple table, which is tiny relative
+   * to the page corpus.
+   */
+  def runCheckpointed(spark: SparkSession, pages: Dataset[Page], outDir: String,
+      buckets: Int = 32, salted: Boolean = false, seed: Long = 42L): RunReport = {
+    import spark.implicits._
+    val bundleBc = spark.sparkContext.broadcast(buildBundle(seed))
+    val errorAcc = spark.sparkContext.longAccumulator("featurize_errors_total")
+
+    val done = Lineage.doneBuckets(outDir, "triples_raw")
+    val withBucket = pages.withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+    val remainingBuckets = (0 until buckets).filterNot(done)
+
+    if (remainingBuckets.nonEmpty) {
+      val remaining = withBucket
+        .filter(col("bucket").isInCollection(remainingBuckets))
+        .drop("bucket").as[Page]
+      val scored = scorePages(spark, remaining, bundleBc, Some(errorAcc))
+      val dict = entityDict(spark)
+      val linked = (if (salted) linkSalted(scored, dict) else linkBroadcast(scored, dict))
+        .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+        .select("bucket", "subject_id", "relation", "object_id", "confidence",
+          "subjectNer", "objectNer", "url", "sentIdx")
+      linked.write.mode("append").partitionBy("bucket").parquet(s"$outDir/triples_raw")
+
+      val written = spark.read.parquet(s"$outDir/triples_raw")
+        .filter(col("bucket").isInCollection(remainingBuckets))
+        .groupBy("bucket").count().as[(Int, Long)].collect().toMap
+      Lineage.append(outDir, "triples_raw",
+        remainingBuckets.map(bkt => Lineage.BucketRecord(bkt, written.getOrElse(bkt, 0L), 0L)))
+    }
+
+    val raw = spark.read.parquet(s"$outDir/triples_raw")
+    val edges = dedupTriples(raw)
+    edges.write.mode("overwrite").parquet(s"$outDir/edges")
+    val nodeTable = nodes(raw)
+    nodeTable.write.mode("overwrite").parquet(s"$outDir/nodes")
+    val nTriples = spark.read.parquet(s"$outDir/edges").count()
+    val nNodes = spark.read.parquet(s"$outDir/nodes").count()
+    Lineage.append(outDir, "graph", Seq(Lineage.BucketRecord(-1, nTriples, errorAcc.value)))
+    RunReport(remainingBuckets, done.toSeq.sorted, nTriples, nNodes, errorAcc.value)
+  }
+
+  /** One-shot (non-checkpointed) triple extraction for benchmarks/tests. */
+  def extractTriples(spark: SparkSession, pages: Dataset[Page], salted: Boolean = false,
+      seed: Long = 42L): DataFrame = {
+    val bundleBc = spark.sparkContext.broadcast(buildBundle(seed))
+    val scored = scorePages(spark, pages, bundleBc)
+    val dict = entityDict(spark)
+    val linked = if (salted) linkSalted(scored, dict) else linkBroadcast(scored, dict)
+    dedupTriples(linked)
+  }
+}

@@ -1,13 +1,515 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.kg.Pipeline
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, Streaming}
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2, with an exact DuckDB oracle wherever the operator is
+ * SQL-expressible. Column names and types are aligned between the Spark
+ * plan and the oracle SQL (bigint for counts/sizes, double produced only
+ * from exact-integer ratios or decimal sums, to keep cross-engine hashes
+ * stable).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full KG-construction pipeline (pages → extract → segment
+    * → mention-detect → featurize → score → mask → link → dedup) over the
+    * deterministic synthetic corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.extractTriples(spark, Pipeline.generatePages(spark, 300L))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- KG pipeline (non-SQL-expressible; rows-only checks) ---------------
+    "kg_flagship" -> ((s, _) => Pipeline.extractTriples(s, Pipeline.generatePages(s, 300L))),
+    "kg_salted_link" -> ((s, _) =>
+      Pipeline.extractTriples(s, Pipeline.generatePages(s, 120L), salted = true)),
+
+    // ---- S-scans + A-aggregations over driver testdata ----------------------
+    // TPC-H-ish pricing summary: sums via exact decimal, emitted as double
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // A1 vocab build: token -> count, first-seen doc, insertion-ordered id
+    "q_vocab_build" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
+        .withColumn("token_id",
+          row_number().over(Window.orderBy(col("first_doc"), col("token"))).cast("long"))
+    }),
+
+    // A2 rare-word pruning: cnt > 2, ids re-ranked in original order
+    "q_vocab_prune" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
+        .filter(col("cnt") > 2)
+        .withColumn("token_id",
+          row_number().over(Window.orderBy(col("first_doc"), col("token"))).cast("long"))
+    }),
+
+    // A3 label histogram
+    "q_label_histogram" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang")).agg(count(lit(1)).as("cnt"))),
+
+    // A4 confusion matrix (long form)
+    "q_confusion" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))),
+
+    // A5 micro P/R/F1 excluding one label (sklearn micro semantics)
+    "q_micro_prf" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("pred", when(col("value") > 100, lit("purchase")).otherwise(col("event_type")))
+        .withColumn("targ", col("event_type"))
+      e.agg(
+        sum(when(col("pred") === col("targ") && col("targ") =!= "view", 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") =!= "view", 1L).otherwise(0L)).as("pred_pos"),
+        sum(when(col("targ") =!= "view", 1L).otherwise(0L)).as("targ_pos"))
+        .select(col("tp"), col("pred_pos"), col("targ_pos"),
+          (col("tp").cast("double") / col("pred_pos")).as("precision"),
+          (col("tp").cast("double") / col("targ_pos")).as("recall"))
+    }),
+
+    // A6 accuracy
+    "q_accuracy" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("pred", when(col("value") > 100, lit("purchase")).otherwise(col("event_type")))
+      e.agg(
+        sum(when(col("pred") === col("event_type"), 1L).otherwise(0L)).as("correct"),
+        count(lit(1)).as("total"))
+        .select(col("correct"), col("total"),
+          (col("correct").cast("double") / col("total")).as("accuracy"))
+    }),
+
+    // A7 error-rate-by-length histogram
+    "q_error_by_length" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(floor(col("n_chars") / lit(100.0)).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("errors"))
+        .withColumn("error_rate", col("errors").cast("double") / col("cnt"))),
+
+    // A8 per-class P/R report
+    "q_per_class_report" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("pred", when(col("value") > 100, lit("purchase")).otherwise(col("event_type")))
+        .withColumn("targ", col("event_type"))
+      val byTarg = e.groupBy(col("targ").as("label"))
+        .agg(count(lit(1)).as("support"),
+          sum(when(col("pred") === col("targ"), 1L).otherwise(0L)).as("tp"))
+      val byPred = e.groupBy(col("pred").as("label")).agg(count(lit(1)).as("pred_cnt"))
+      byTarg.join(byPred, Seq("label"), "left")
+        .select(col("label"), col("support"), col("tp"),
+          coalesce(col("pred_cnt"), lit(0L)).as("pred_cnt"),
+          (col("tp").cast("double") / coalesce(col("pred_cnt"), lit(0L))).as("precision"),
+          (col("tp").cast("double") / col("support")).as("recall"))
+    }),
+
+    // A9 triple-style dedup: group, max-confidence, support count
+    "q_dedup_triples" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("value")).as("confidence"), count(lit(1)).as("support"))),
+
+    // A10 distinct nodes from an edge list
+    "q_distinct_nodes" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_custkey").as("node_id"))
+        .unionByName(o.select(col("o_orderkey").as("node_id")))
+        .distinct()
+    }),
+
+    // ---- joins --------------------------------------------------------------
+    // J5-shape: fact ⨝ broadcast dims
+    "q_broadcast_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))),
+
+    // big-side shuffle join
+    "q_large_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))),
+
+    // P12 as a left-semi join
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_size") > 40),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))),
+
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // J2 report alignment: left join + fill
+    "q_report_align" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val all = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val sub = d.filter(col("source") === "src0").groupBy(col("lang"))
+        .agg(count(lit(1)).as("src0_cnt"), sum(col("n_chars")).as("src0_chars"))
+      all.join(sub, Seq("lang"), "left")
+        .select(col("lang"), col("cnt"),
+          coalesce(col("src0_cnt"), lit(-1L)).as("src0_cnt"),
+          coalesce(col("src0_chars"), lit(-1L)).as("src0_chars"))
+    }),
+
+    // J3 wrong-example id join
+    "q_wrongs_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val preds = e.select(col("event_id"),
+        when(col("value") > 100, lit("purchase")).otherwise(col("event_type")).as("pred"))
+      preds.join(e, Seq("event_id"))
+        .filter(col("pred") =!= col("event_type"))
+        .select(col("event_id"), col("event_type").as("targ"), col("pred"), col("user_id"))
+    }),
+
+    // U1 union of sources
+    "q_union_sources" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.filter(col("lang") === "en")
+        .unionByName(d.filter(col("source") === "src0"))
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- window / sort / limit ----------------------------------------------
+    // W1 scope window (array slice around a keyword)
+    "q_scope_window" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("toks", split(col("text"), " "))
+        .withColumn("pos", array_position(col("toks"), "spark"))
+        .filter(col("pos") > 0)
+      d.select(col("doc_id"),
+        array_join(slice(col("toks"),
+          greatest(lit(1), (col("pos") - 3).cast("int")), lit(7)), " ").as("window_text"))
+    }),
+
+    // W2/W3 top-1 per group via row_number
+    "q_top_per_lang" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, dir, "documents").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+    }),
+
+    // deterministic top-k
+    "q_topk_docs" -> ((s, dir) =>
+      t(s, dir, "documents").orderBy(col("n_chars").desc, col("doc_id").asc)
+        .select(col("doc_id"), col("n_chars")).limit(10)),
+
+    // B1 length-bucket histogram
+    "q_length_buckets" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // ---- dedup family ---------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(t(s, dir, "documents"))),
+    "q_lsh_pairs" -> ((s, dir) => Dedup.lshCandidatePairs(t(s, dir, "documents"))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), cap = 200)),
+
+    // ---- similarity search -----------------------------------------------------
+    "q_embed_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      Similarity.bruteCosineTopK(e.filter(col("vec_id") =!= 0), q, 10)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      Similarity.lshCosineTopK(e.filter(col("vec_id") =!= 0), q, 10)
+    }),
+    "q_nn_join" -> ((s, dir) => Similarity.nearestNeighborJoin(t(s, dir, "embeddings"), 100)),
+
+    // ---- text analysis -----------------------------------------------------------
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
+    "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+
+    // ---- multimodal plumbing -------------------------------------------------------
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(s, Multimodal.mediaTable(t(s, dir, "documents")))
+        .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"), col("content_md5"))),
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.extractMeta(s, Multimodal.mediaTable(t(s, dir, "documents"))))),
+
+    // ---- streaming --------------------------------------------------------------------
+    "q_stream_window" -> ((s, dir) =>
+      Streaming.windowedEventCounts(s, s"$dir/events.parquet")
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_vocab_build" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+         agg AS (SELECT token, COUNT(*) AS cnt, MIN(doc_id) AS first_doc FROM tok GROUP BY token)
+         SELECT token, cnt, first_doc,
+           ROW_NUMBER() OVER (ORDER BY first_doc, token) AS token_id FROM agg""",
+
+    "q_vocab_prune" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+         agg AS (SELECT token, COUNT(*) AS cnt, MIN(doc_id) AS first_doc FROM tok GROUP BY token)
+         SELECT token, cnt, first_doc,
+           ROW_NUMBER() OVER (ORDER BY first_doc, token) AS token_id FROM agg WHERE cnt > 2""",
+
+    "q_label_histogram" ->
+      "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang",
+
+    "q_confusion" ->
+      "SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source",
+
+    "q_micro_prf" ->
+      """WITH e AS (SELECT event_type AS targ,
+           CASE WHEN value > 100 THEN 'purchase' ELSE event_type END AS pred FROM events),
+         m AS (SELECT
+           CAST(SUM(CASE WHEN pred = targ AND targ <> 'view' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN pred <> 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos,
+           CAST(SUM(CASE WHEN targ <> 'view' THEN 1 ELSE 0 END) AS BIGINT) AS targ_pos FROM e)
+         SELECT tp, pred_pos, targ_pos,
+           CAST(tp AS DOUBLE) / pred_pos AS precision,
+           CAST(tp AS DOUBLE) / targ_pos AS recall FROM m""",
+
+    "q_accuracy" ->
+      """WITH e AS (SELECT event_type,
+           CASE WHEN value > 100 THEN 'purchase' ELSE event_type END AS pred FROM events)
+         SELECT CAST(SUM(CASE WHEN pred = event_type THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+           COUNT(*) AS total,
+           CAST(SUM(CASE WHEN pred = event_type THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+         FROM e""",
+
+    "q_error_by_length" ->
+      """SELECT CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket, COUNT(*) AS cnt,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS error_rate
+         FROM documents GROUP BY 1""",
+
+    "q_per_class_report" ->
+      """WITH e AS (SELECT event_type AS targ,
+           CASE WHEN value > 100 THEN 'purchase' ELSE event_type END AS pred FROM events),
+         bt AS (SELECT targ AS label, COUNT(*) AS support,
+           CAST(SUM(CASE WHEN pred = targ THEN 1 ELSE 0 END) AS BIGINT) AS tp FROM e GROUP BY targ),
+         bp AS (SELECT pred AS label, COUNT(*) AS pred_cnt FROM e GROUP BY pred)
+         SELECT bt.label, bt.support, bt.tp,
+           CAST(COALESCE(bp.pred_cnt, 0) AS BIGINT) AS pred_cnt,
+           CAST(bt.tp AS DOUBLE) / COALESCE(bp.pred_cnt, 0) AS precision,
+           CAST(bt.tp AS DOUBLE) / bt.support AS recall
+         FROM bt LEFT JOIN bp ON bt.label = bp.label""",
+
+    "q_dedup_triples" ->
+      """SELECT user_id, event_type, MAX(value) AS confidence, COUNT(*) AS support
+         FROM events GROUP BY user_id, event_type""",
+
+    "q_distinct_nodes" ->
+      """SELECT DISTINCT node_id FROM (
+           SELECT o_custkey AS node_id FROM orders
+           UNION ALL SELECT o_orderkey AS node_id FROM orders)""",
+
+    "q_broadcast_join" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q_large_join" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+
+    "q_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+         GROUP BY l_returnflag""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+
+    "q_report_align" ->
+      """WITH a AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         s AS (SELECT lang, COUNT(*) AS src0_cnt,
+               CAST(SUM(n_chars) AS BIGINT) AS src0_chars
+               FROM documents WHERE source = 'src0' GROUP BY lang)
+         SELECT a.lang, a.cnt, CAST(COALESCE(s.src0_cnt, -1) AS BIGINT) AS src0_cnt,
+           CAST(COALESCE(s.src0_chars, -1) AS BIGINT) AS src0_chars
+         FROM a LEFT JOIN s ON a.lang = s.lang""",
+
+    "q_wrongs_join" ->
+      """WITH preds AS (SELECT event_id,
+           CASE WHEN value > 100 THEN 'purchase' ELSE event_type END AS pred FROM events)
+         SELECT e.event_id, e.event_type AS targ, p.pred, e.user_id
+         FROM preds p JOIN events e ON p.event_id = e.event_id
+         WHERE p.pred <> e.event_type""",
+
+    "q_union_sources" ->
+      """SELECT lang, source, COUNT(*) AS cnt FROM (
+           SELECT * FROM documents WHERE lang = 'en'
+           UNION ALL SELECT * FROM documents WHERE source = 'src0')
+         GROUP BY lang, source""",
+
+    "q_scope_window" ->
+      """SELECT doc_id, array_to_string(
+           list_slice(string_split(text, ' '),
+             GREATEST(1, list_position(string_split(text, ' '), 'spark') - 3),
+             GREATEST(1, list_position(string_split(text, ' '), 'spark') - 3) + 6), ' ')
+           AS window_text
+         FROM documents WHERE list_position(string_split(text, ' '), 'spark') > 0""",
+
+    "q_top_per_lang" ->
+      """SELECT lang, doc_id, n_chars FROM documents
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) = 1""",
+
+    "q_topk_docs" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
+
+    "q_length_buckets" ->
+      """SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, COUNT(*) AS cnt
+         FROM documents GROUP BY 1""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY md5(text)""",
+
+    "q_minhash_sig" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i FROM d),
+         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM ix)
+         SELECT doc_id,
+           MIN(md5('1' || shingle)) AS h1, MIN(md5('2' || shingle)) AS h2,
+           MIN(md5('3' || shingle)) AS h3, MIN(md5('4' || shingle)) AS h4
+         FROM sh GROUP BY doc_id""",
+
+    "q_lsh_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i FROM d),
+         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM ix),
+         sig AS (SELECT doc_id, MIN(md5('1' || shingle)) AS h1, MIN(md5('2' || shingle)) AS h2
+                 FROM sh GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id""",
+
+    "q_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 200),
+         ix AS (SELECT doc_id, lang, t, UNNEST(generate_series(1, len(t) - 2)) AS i FROM docs),
+         tok AS (SELECT DISTINCT doc_id, lang,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS token FROM ix),
+         sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+                   FROM tok a JOIN tok b ON a.lang = b.lang AND a.token = b.token
+                   AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b,
+           CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) AS jaccard
+         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id""",
+
+    "q_embed_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, ROUND(
+           list_dot_product(CAST(embedding AS DOUBLE[]), q.qe) /
+           (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+            SQRT(list_dot_product(q.qe, q.qe))), 4) AS cosine
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+
+    "q_nn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings WHERE vec_id < 100)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.emb, b.emb) /
+             (SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb))), 4)
+           AS cosine
+         FROM e a, e b WHERE a.vec_id <> b.vec_id
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY cosine DESC, b.vec_id ASC) = 1""",
+
+    "q_lang_id" ->
+      """WITH h AS (SELECT doc_id,
+           len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS h_en,
+           len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y','que'))) AS h_es,
+           len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS h_de,
+           len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','est'))) AS h_fr,
+           len(list_filter(string_split(text,' '), x -> x IN ('de5','shi4','le5','zai4','he2'))) AS h_zh
+           FROM documents),
+         b AS (SELECT doc_id, h_en, h_es, h_de, h_fr, h_zh,
+           GREATEST(h_en, h_es, h_de, h_fr, h_zh) AS best FROM h)
+         SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN h_en = best THEN 'en' WHEN h_es = best THEN 'es'
+                WHEN h_de = best THEN 'de' WHEN h_fr = best THEN 'fr'
+                ELSE 'zh' END AS lang_guess,
+           CAST(best AS INT) AS hits
+         FROM b""",
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len,
+           CAST(len(list_filter(string_split(text,' '),
+             x -> x IN ('the','a','of','and','to','el','la','de','y','que','der','die','das','und',
+                        'ist','le','et','est','de5','shi4','le5','zai4','he2'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_filter(string_split(text,' '), x -> length(x) >= 8)) AS DOUBLE)
+             / len(string_split(text, ' ')) AS long_token_ratio
+         FROM documents""",
+
+    "q_token_counts" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+           CAST(length(text) AS INT) AS chars
+         FROM documents""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+         FROM documents""",
+
+    "q_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5 FROM documents""",
+
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+  )
 }

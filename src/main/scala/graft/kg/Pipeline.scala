@@ -42,10 +42,15 @@ object Pipeline {
       gaz, gaz.keys.map(_.count(_ == ' ') + 1).max, weights, typechecker, scope)
   }
 
-  /** Synthetic pages corpus, generated fully distributed (no driver data). */
-  def generatePages(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Page] = {
+  /** Synthetic pages corpus, generated fully distributed (no driver data).
+    * Partition count defaults to the session's parallelism; pass
+    * `partitions` explicitly to size tasks (no shuffle either way — page i
+    * is a pure function of (seed, i)). */
+  def generatePages(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): Dataset[Page] = {
     import spark.implicits._
-    spark.range(n).map(i => Gen.page(seed, i))
+    val range = if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
+    range.map(i => Gen.page(seed, i))
   }
 
   /**

@@ -82,35 +82,45 @@ final class Scorer(weights: ScorerWeights, typechecker: TypeChecker) extends Ser
     if (y < 0f) 0f else if (y > 1f) 1f else y
   }
 
-  /** y += M^T x over rows of M (M: in x out). */
-  private def addMatVec(m: Array[Array[Float]], x: Array[Float], y: Array[Float]): Unit = {
+  /** y(0..hidden) += M^T x(0..xLen) over rows of M (M: xLen x hidden). */
+  private def addMatVec(m: Array[Array[Float]], x: Array[Float], y: Array[Float], xLen: Int): Unit = {
     var i = 0
-    while (i < x.length) {
+    while (i < xLen) {
       val xi = x(i)
       if (xi != 0f) {
         val row = m(i)
         var j = 0
-        while (j < y.length) { y(j) += xi * row(j); j += 1 }
+        while (j < hidden) { y(j) += xi * row(j); j += 1 }
       }
       i += 1
     }
   }
 
+  // scratch buffers, reused across calls (Scorer instances are per-partition
+  // and single-threaded inside a task — no sharing across threads because
+  // mapPartitions constructs per-task state from the broadcast)
+  private val scratch = new ThreadLocal[Array[Array[Float]]] {
+    override def initialValue(): Array[Array[Float]] =
+      Array.fill(7)(new Array[Float](math.max(hidden, embDim)))
+  }
+
   /** Raw logits for one sequence (single_small forward pass). */
   def logits(sequence: Array[Int]): Array[Float] = {
-    val h = new Array[Float](hidden)
-    val c = new Array[Float](hidden)
-    val x = new Array[Float](embDim)
+    val buf = scratch.get()
+    val h = buf(0); val c = buf(1); val x = buf(2)
+    val gi = buf(3); val gf = buf(4); val gc = buf(5); val go = buf(6)
+    java.util.Arrays.fill(h, 0f); java.util.Arrays.fill(c, 0f)
     var t = 0
     while (t < sequence.length) {
       val emb = embedding(sequence(t))
       var d = 0
       while (d < embDim) { x(d) = emb(d) * retain; d += 1 } // test-time dropout scale
-      val gi = bI.clone(); val gf = bF.clone(); val gc = bC.clone(); val go = bO.clone()
-      addMatVec(wI, x, gi); addMatVec(uI, h, gi)
-      addMatVec(wF, x, gf); addMatVec(uF, h, gf)
-      addMatVec(wC, x, gc); addMatVec(uC, h, gc)
-      addMatVec(wO, x, go); addMatVec(uO, h, go)
+      System.arraycopy(bI, 0, gi, 0, hidden); System.arraycopy(bF, 0, gf, 0, hidden)
+      System.arraycopy(bC, 0, gc, 0, hidden); System.arraycopy(bO, 0, go, 0, hidden)
+      addMatVec(wI, x, gi, embDim); addMatVec(uI, h, gi, hidden)
+      addMatVec(wF, x, gf, embDim); addMatVec(uF, h, gf, hidden)
+      addMatVec(wC, x, gc, embDim); addMatVec(uC, h, gc, hidden)
+      addMatVec(wO, x, go, embDim); addMatVec(uO, h, go, hidden)
       var j = 0
       while (j < hidden) {
         val i_ = hardSigmoid(gi(j)); val f_ = hardSigmoid(gf(j)); val o_ = hardSigmoid(go(j))

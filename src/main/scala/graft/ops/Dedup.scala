@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines, over a
+ * `documents(doc_id, text, lang, source, n_chars)` table.
+ *
+ * Scale notes:
+ *  - exact dedup is one hash-groupBy (partial agg map-side; the only shuffle
+ *    moves 16-byte digests, not documents);
+ *  - MinHash signatures are computed via explode+groupBy on tokens — linear,
+ *    shuffle carries (doc_id, band-key) pairs only;
+ *  - LSH candidate pairs come from a self-join on the band key: the join
+ *    explodes only within buckets, never across the full corpus (the whole
+ *    point of LSH at 100 TB);
+ *  - SimHash is a single narrow projection (no shuffle at all) — near-dup
+ *    detection then groups by the 16-bit band keys.
+ *
+ * Everything except SimHash bit-twiddling is pure `functions._` — Catalyst
+ * codegen end to end, and each query has an exact DuckDB oracle.
+ */
+object Dedup {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** 3-token shingles as a Column (pure HOFs — codegen'd): shingle i joins
+    * tokens i..i+2; trailing positions yield null and are filtered. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val t = tokens(c)
+    filter(
+      transform(t, (_, i) =>
+        when(i <= size(t) - n,
+          concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))),
+      x => x.isNotNull)
+  }
+
+  /** Exact dedup (A9 analog): one representative per distinct text digest. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature over the 3-token shingle set, k permutation-free
+    * hashes: h_i(doc) = min over shingles of md5(i || shingle). */
+  def minhashSignatures(documents: DataFrame, k: Int = 4): DataFrame = {
+    val sigs = (1 to k).map(i => min(md5(concat(lit(i.toString), col("shingle")))).as(s"h$i"))
+    documents
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH banding: candidate near-dup pairs sharing band (h1, h2). */
+  def lshCandidatePairs(documents: DataFrame): DataFrame = {
+    val sig = minhashSignatures(documents, 4)
+    val a = sig.select(col("doc_id").as("doc_a"), col("h1"), col("h2"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("h1"), col("h2"))
+    a.join(b, Seq("h1", "h2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash over unigram tokens (weights = term frequency).
+    * Pure-Scala kernel (bit twiddling has no SQL-oracle form); narrow map. */
+  def simhash64(text: String): Long = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    text.split(" ").foreach(t => if (t.nonEmpty) counts(t) = counts.getOrElse(t, 0) + 1)
+    val acc = new Array[Long](64)
+    counts.foreach { case (tok, w) =>
+      // deterministic 64-bit hash: FNV-1a then xorshift finalize
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < tok.length) { h ^= tok.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      var b = 0
+      while (b < 64) { acc(b) += (if (((h >>> b) & 1L) == 1L) w.toLong else -w.toLong); b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhash(documents: DataFrame): DataFrame = {
+    val sim = udf((t: String) => simhash64(t))
+    documents.select(col("doc_id"), sim(col("text")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: same 16-bit band in any of 4 bands →
+    * candidate; verified by Hamming distance <= maxHamming. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val withSim = simhash(documents)
+    val banded = withSim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram (3-shingle-set) Jaccard similarity for candidate pairs within
+    * the same lang, restricted to doc_id < cap (the quadratic demo is
+    * bounded; the scale path is LSH above). */
+  def ngramJaccard(documents: DataFrame, cap: Int = 200, minJaccard: Double = 0.0): DataFrame = {
+    val docs = documents.filter(col("doc_id") < cap)
+    val tok = docs.select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("token")).distinct()
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val a = tok.select(col("doc_id").as("doc_a"), col("lang"), col("token"))
+    val b = tok.select(col("doc_id").as("doc_b"), col("lang"), col("token"))
+    val inter = a.join(b, Seq("lang", "token"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_size"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter_size").cast("double") /
+          (col("size_a") + col("size_b") - col("inter_size")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Structured Streaming analog of the reference's only unbounded operator —
+ * the stdin micro-batch loop (reference: data/adaptors.py:111-120 + the
+ * kbp.py:49-78 cache-and-flush). The reference has no watermarks/windows/
+ * state (SURVEY.md §2.8); we provide the standard streaming surface anyway:
+ * event-time tumbling-window aggregation with a watermark, driven
+ * synchronously over a static parquet dir for tests/verification.
+ */
+object Streaming {
+
+  /** Tumbling 1-hour event-time counts per event_type, computed by an
+    * actual streaming query (memory sink, processAllAvailable). The result
+    * is identical to the batch `date_trunc` aggregation — which is the
+    * DuckDB oracle. */
+  def windowedEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    // The streaming file source requires a DIRECTORY; testdata tables are
+    // single parquet files — stage via a symlink in a temp dir.
+    val eventsDir = {
+      val p = java.nio.file.Paths.get(eventsPath)
+      if (java.nio.file.Files.isDirectory(p)) eventsPath
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("stream_src")
+        java.nio.file.Files.createSymbolicLink(tmp.resolve(p.getFileName), p.toAbsolutePath)
+        tmp.toString
+      }
+    }
+    val schema = spark.read.parquet(eventsDir).schema
+    val name = s"stream_counts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.schema(schema).parquet(eventsDir)
+      // parquet NTZ → LTZ for event-time semantics (session TZ is UTC, so
+      // wall-clock values are unchanged); window start goes back to NTZ so
+      // the output type matches the source column.
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).persist()
+    out.count() // materialize before the memory sink table goes away
+    out
+  }
+
+  /** Streaming micro-batch scoring (B2 analog): the KG scoring kernel run
+    * via foreachBatch over a stream of pages — each micro-batch plays the
+    * rôle of the reference's 2^15-example cache flush. Returns collected
+    * batch sizes for verification. */
+  def scorePagesStreaming(spark: SparkSession, pagesDir: String,
+      bundle: graft.kg.Pipeline.ScoringBundle): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(pagesDir).schema
+    val bundleBc = spark.sparkContext.broadcast(bundle)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.schema(schema).parquet(pagesDir)
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pages = batch.as[graft.kg.Page]
+        val scored = graft.kg.Pipeline.scorePages(pages.sparkSession, pages, bundleBc)
+        results.synchronized { results += ((batchId, scored.count())) }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    results.toSeq
+  }
+}

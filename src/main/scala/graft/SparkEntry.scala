@@ -267,6 +267,20 @@ object SparkEntry {
       Streaming.windowedEventCounts(s, s"$dir/events.parquet")
         .select(col("window_start"), col("event_type"), col("n"),
           col("total_value").cast("double").as("total_value"))),
+
+    // stateful streaming dedup (watermark-bounded state)
+    "q_stream_dedup" -> ((s, dir) => Streaming.streamingDedup(s, s"$dir/events.parquet")),
+
+    // custom Catalyst expression (codegen'd): softmax+argmax scoring tail
+    "q_softmax_argmax" -> ((s, dir) => {
+      graft.functions.SoftmaxArgmax.register(s)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.SoftmaxArgmax.softmax_argmax(
+            col("embedding").cast("array<double>")).as("sa"))
+        .select(col("vec_id"), col("sa.idx").as("arg_idx"),
+          round(col("sa.conf"), 6).as("conf"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -511,5 +525,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q_softmax_argmax" ->
+      """SELECT vec_id,
+           CAST(list_position(CAST(embedding AS DOUBLE[]),
+                list_max(CAST(embedding AS DOUBLE[]))) - 1 AS INT) AS arg_idx,
+           ROUND(1.0 / list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                x -> exp(x - list_max(CAST(embedding AS DOUBLE[]))))), 6) AS conf
+         FROM embeddings""",
   )
 }

@@ -1,0 +1,53 @@
+package graft.kg
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * spark-submit entry point for the checkpointed KG-construction run:
+ *
+ *   spark-submit --class graft.kg.PipelineMain <jar> \
+ *     --out /data/kg_out [--pages 100000] [--buckets 256] [--salted] \
+ *     [--pages-path /data/pages_parquet]
+ *
+ * With --pages-path the corpus is read from an existing pages table
+ * (url, warc_ts, html, text, lang); otherwise the deterministic synthetic
+ * generator supplies --pages rows. On a cluster, every setting here comes
+ * from spark-submit; the code makes no local[] assumptions.
+ */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    var out = ""
+    var pages = 10000L
+    var buckets = 32
+    var salted = false
+    var pagesPath = ""
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--out" => out = args(i + 1); i += 2
+        case "--pages" => pages = args(i + 1).toLong; i += 2
+        case "--buckets" => buckets = args(i + 1).toInt; i += 2
+        case "--salted" => salted = true; i += 1
+        case "--pages-path" => pagesPath = args(i + 1); i += 2
+        case other => throw new IllegalArgumentException(s"unknown arg: $other")
+      }
+    }
+    require(out.nonEmpty, "--out is required")
+    val builder = SparkSession.builder().appName("graft-kg-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // local fallback for sandbox runs; spark-submit --master overrides
+    val spark = (if (sys.env.contains("SPARK_GRAFT_LOCAL"))
+      builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    else builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val corpus = if (pagesPath.nonEmpty) spark.read.parquet(pagesPath).as[Page]
+      else Pipeline.generatePages(spark, pages)
+    val report = Pipeline.runCheckpointed(spark, corpus, out, buckets = buckets, salted = salted)
+    println(s"""{"triples":${report.triples},"nodes":${report.nodes},"bucketsProcessed":${report.bucketsProcessed.size},"bucketsSkipped":${report.bucketsSkipped.size},"errors":${report.errors}}""")
+    spark.stop()
+  }
+}

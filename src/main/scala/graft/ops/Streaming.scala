@@ -19,17 +19,7 @@ object Streaming {
     * is identical to the batch `date_trunc` aggregation — which is the
     * DuckDB oracle. */
   def windowedEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
-    // The streaming file source requires a DIRECTORY; testdata tables are
-    // single parquet files — stage via a symlink in a temp dir.
-    val eventsDir = {
-      val p = java.nio.file.Paths.get(eventsPath)
-      if (java.nio.file.Files.isDirectory(p)) eventsPath
-      else {
-        val tmp = java.nio.file.Files.createTempDirectory("stream_src")
-        java.nio.file.Files.createSymbolicLink(tmp.resolve(p.getFileName), p.toAbsolutePath)
-        tmp.toString
-      }
-    }
+    val eventsDir = stageDir(eventsPath)
     val schema = spark.read.parquet(eventsDir).schema
     val name = s"stream_counts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = spark.readStream.schema(schema).parquet(eventsDir)
@@ -51,6 +41,41 @@ object Streaming {
     val out = spark.table(name).persist()
     out.count() // materialize before the memory sink table goes away
     out
+  }
+
+  /** Stateful streaming dedup: dropDuplicates on a composite key with an
+    * event-time watermark bounding state (the scale-safe form — state for
+    * keys older than the watermark is evicted). Emits the surviving key set,
+    * which equals SELECT DISTINCT — the DuckDB oracle. */
+  def streamingDedup(spark: SparkSession, eventsPath: String): DataFrame = {
+    val eventsDir = stageDir(eventsPath)
+    val schema = spark.read.parquet(eventsDir).schema
+    val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).persist()
+    out.count()
+    out
+  }
+
+  /** Stage a single parquet FILE as a directory for the streaming source. */
+  private def stageDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) path
+    else {
+      val tmp = java.nio.file.Files.createTempDirectory("stream_src")
+      java.nio.file.Files.createSymbolicLink(tmp.resolve(p.getFileName), p.toAbsolutePath)
+      tmp.toString
+    }
   }
 
   /** Streaming micro-batch scoring (B2 analog): the KG scoring kernel run

@@ -197,8 +197,11 @@ object Gen {
     }
   }
 
-  /** Page i of the corpus — pure function of (seed, i). */
-  def page(seed: Long, i: Long): Page = {
+  /** Page i of the corpus — pure function of (seed, i). `withText=false`
+    * skips the text-column extraction (for fused in-memory pipelines where
+    * the scoring kernel re-extracts from html anyway); a pages TABLE at
+    * rest must be generated with `withText=true` (input-hint shape). */
+  def page(seed: Long, i: Long, withText: Boolean = true): Page = {
     val rng = new Rng(seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL + 1)
     val nSent = 3 + rng.nextInt(6)
     val sents = Seq.fill(nSent)(sentence(rng))
@@ -212,9 +215,10 @@ object Gen {
          |$paras
          |<div class="footer">&copy; 0000 example &amp; co.</div>
          |</body></html>""".stripMargin
-    val text = TextExtract.extract(html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val text = if (withText) TextExtract.extract(bytes) else ""
     val ts = new java.sql.Timestamp(1420070400000L + (i % 31536000L) * 1000L) // 2015 epoch window
-    Page(s"https://example.org/crawl/$i", ts, html.getBytes(java.nio.charset.StandardCharsets.UTF_8), text, "en")
+    Page(s"https://example.org/crawl/$i", ts, bytes, text, "en")
   }
 
   /** Planted ground-truth triples of page i (corpus-design metadata). */

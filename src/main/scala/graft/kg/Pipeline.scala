@@ -47,14 +47,17 @@ object Pipeline {
     * `partitions` explicitly to size tasks (no shuffle either way — page i
     * is a pure function of (seed, i)). */
   def generatePages(spark: SparkSession, n: Long, seed: Long = 42L,
-      partitions: Int = 0): Dataset[Page] = {
+      partitions: Int = 0, withText: Boolean = false): Dataset[Page] = {
     import spark.implicits._
     val range = if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
-    range.map(i => Gen.page(seed, i))
+    range.map(i => Gen.page(seed, i, withText))
   }
 
   /**
-   * The fused narrow stage: Page → scored relation candidates.
+   * The fused narrow stage: Page → scored relation candidates, consuming
+   * ONLY (url, html) — Catalyst prunes every other pages column at the
+   * scan, and the north-rule HTML→text extraction runs as a true pipeline
+   * stage in this kernel (byte-identical per url, golden-tested).
    * P15 (`no_relation` suppression, kbp.py:61-62) applied in-kernel.
    * Featurize failures follow the 'ignore' policy (P14, kbp.py:69-70),
    * counted on an accumulator as the error channel.
@@ -64,30 +67,33 @@ object Pipeline {
       errorAcc: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[ScoredPair] = {
     import spark.implicits._
     val errorCount = errorAcc.getOrElse(spark.sparkContext.longAccumulator("featurize_errors"))
-    pages.mapPartitions { it =>
-      val b = bundleBc.value
-      val scorer = new Scorer(b.weights, b.typechecker)
-      val noRelId = b.rel("no_relation")
-      it.flatMap { page =>
-        Segment.sentences(page.text).zipWithIndex.flatMap { case (sent, sentIdx) =>
-          val tokens = Segment.tokenize(sent)
-          val mentions = Segment.detectMentions(tokens, b.gazetteer, b.gazMaxLen)
-          Segment.candidatePairs(mentions).flatMap { case (s, o) =>
-            try {
-              val ex = Segment.toExample(tokens, s, o)
-              val feat = featurizeSent(ex, b)
-              val (relId, conf) = scorer.predict(feat._1, feat._2, feat._3)
-              if (relId == noRelId) None
-              else Some(ScoredPair(page.url, sentIdx, s.surface, s.ner, o.surface, o.ner,
-                b.rel.index2word(relId), conf))
-            } catch {
-              case _: NoPathException => errorCount.add(1); None
-              case _: NoSuchElementException => errorCount.add(1); None
+    pages
+      .select(col("url"), col("html")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val b = bundleBc.value
+        val scorer = new Scorer(b.weights, b.typechecker)
+        val noRelId = b.rel("no_relation")
+        it.flatMap { case (url, html) =>
+          val text = TextExtract.extract(html) // north-rule extraction stage
+          Segment.sentences(text).zipWithIndex.flatMap { case (sent, sentIdx) =>
+            val tokens = Segment.tokenize(sent)
+            val mentions = Segment.detectMentions(tokens, b.gazetteer, b.gazMaxLen)
+            Segment.candidatePairs(mentions).flatMap { case (s, o) =>
+              try {
+                val ex = Segment.toExample(tokens, s, o)
+                val feat = featurizeSent(ex, b)
+                val (relId, conf) = scorer.predict(feat._1, feat._2, feat._3)
+                if (relId == noRelId) None
+                else Some(ScoredPair(url, sentIdx, s.surface, s.ner, o.surface, o.ner,
+                  b.rel.index2word(relId), conf))
+              } catch {
+                case _: NoPathException => errorCount.add(1); None
+                case _: NoSuchElementException => errorCount.add(1); None
+              }
             }
           }
         }
       }
-    }
   }
 
   /** Sent-model featurization against frozen VocabViews (no mutation on

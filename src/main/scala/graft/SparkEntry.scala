@@ -271,6 +271,21 @@ object SparkEntry {
     // stateful streaming dedup (watermark-bounded state)
     "q_stream_dedup" -> ((s, dir) => Streaming.streamingDedup(s, s"$dir/events.parquet")),
 
+    // J1: vocab lookup as a left join with UNK fallback (id 0)
+    "q_vocab_lookup_join" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val vocab = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
+        .filter(col("cnt") > 30)
+        .withColumn("token_id",
+          row_number().over(Window.orderBy(col("first_doc"), col("token"))).cast("long"))
+        .select(col("token"), col("token_id"))
+      tok.join(vocab, Seq("token"), "left")
+        .select(coalesce(col("token_id"), lit(0L)).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("cnt"))
+    }),
+
     // custom Catalyst expression (codegen'd): softmax+argmax scoring tail
     "q_softmax_argmax" -> ((s, dir) => {
       graft.functions.SoftmaxArgmax.register(s)
@@ -528,6 +543,17 @@ object SparkEntry {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q_vocab_lookup_join" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+         agg AS (SELECT token, COUNT(*) AS cnt, MIN(doc_id) AS first_doc
+                 FROM tok GROUP BY token),
+         vocab AS (SELECT token,
+             ROW_NUMBER() OVER (ORDER BY first_doc, token) AS token_id
+           FROM agg WHERE cnt > 30)
+         SELECT COALESCE(v.token_id, 0) AS id, COUNT(*) AS cnt
+         FROM tok LEFT JOIN vocab v ON tok.token = v.token
+         GROUP BY COALESCE(v.token_id, 0)""",
 
     "q_softmax_argmax" ->
       """SELECT vec_id,

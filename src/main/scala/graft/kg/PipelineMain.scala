@@ -47,6 +47,13 @@ object PipelineMain {
     val corpus = if (pagesPath.nonEmpty) spark.read.parquet(pagesPath).as[Page]
       else Pipeline.generatePages(spark, pages)
     val report = Pipeline.runCheckpointed(spark, corpus, out, buckets = buckets, salted = salted)
+    // K2 sink: best_scores.json-style run summary next to the graph tables
+    Metrics.writeScoresJson(s"$out/run_scores.json", Map(
+      "triples" -> report.triples.toDouble,
+      "nodes" -> report.nodes.toDouble,
+      "buckets_processed" -> report.bucketsProcessed.size.toDouble,
+      "buckets_skipped" -> report.bucketsSkipped.size.toDouble,
+      "featurize_errors" -> report.errors.toDouble))
     println(s"""{"triples":${report.triples},"nodes":${report.nodes},"bucketsProcessed":${report.bucketsProcessed.size},"bucketsSkipped":${report.bucketsSkipped.size},"errors":${report.errors}}""")
     spark.stop()
   }

@@ -152,6 +152,37 @@ class StageSpec extends AnyFunSuite {
     assert(viaSql.map(_.getInt(0)).toSeq === Seq(1, 0))
   }
 
+  test("LSH ANN returns a subset of brute-force results with identical cosines") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val rest = e.filter(col("vec_id") =!= 0)
+    val brute = graft.ops.Similarity.bruteCosineTopK(rest, q, 50).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = graft.ops.Similarity.lshCosineTopK(rest, q, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ann.nonEmpty)
+    // cosines computed identically; descending order
+    val allCos = graft.ops.Similarity.bruteCosineTopK(rest, q, 10000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { case (id, c) => assert(allCos(id) === c) }
+    assert(ann.map(_._2).toSeq === ann.map(_._2).toSeq.sorted.reverse)
+    // LSH bucket restriction must find at least part of the true top-50
+    assert(ann.map(_._1).count(brute.contains) >= 1)
+  }
+
+  test("GraftExtensions injection + registry-based SQL surface") {
+    // a fresh SparkSessionExtensions accepts the injection (builder path;
+    // a same-JVM getOrCreate would reuse the suite session, so the full
+    // session-build route is exercised by PipelineMain/spark-submit runs)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // registry path on the live session: SQL text resolves the function
+    graft.functions.SoftmaxArgmax.register(spark)
+    val got = spark.sql("SELECT softmax_argmax(array(1.0d, 3.0d, 2.0d)) AS sa")
+      .selectExpr("sa.idx", "sa.conf").head()
+    assert(got.getInt(0) === 1)
+  }
+
   test("streaming scoring via foreachBatch (B2 micro-batch analog)") {
     val dir = Files.createTempDirectory("graft-pages").toString
     import spark.implicits._

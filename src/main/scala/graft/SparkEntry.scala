@@ -32,6 +32,27 @@ object SparkEntry {
     "kg_salted_link" -> ((s, _) =>
       Pipeline.extractTriples(s, Pipeline.generatePages(s, 120L), salted = true)),
 
+    // pred.py-style evaluation: per-relation P/R report over a labeled split
+    "kg_eval_report" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
+      graft.kg.Evaluate.run(s, examples, bundleBc).perRelation
+    }),
+
+    // single-path dependency featurizer end-to-end (M6 + M7a): shortest
+    // dependency path → interleaved sequence → LSTM → masked argmax
+    "kg_singlepath" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
+      graft.kg.Evaluate.scoreSinglePath(s, examples, bundleBc).toDF()
+        .filter(col("pred") =!= "no_relation")
+        .groupBy(col("subjectId").as("subject_id"), col("pred").as("relation"),
+          col("objectId").as("object_id"))
+        .agg(max(col("confidence")).as("confidence"), count(lit(1)).as("support"))
+    }),
+
     // ---- S-scans + A-aggregations over driver testdata ----------------------
     // TPC-H-ish pricing summary: sums via exact decimal, emitted as double
     "q1_pricing_summary" -> ((s, dir) => {

@@ -1,0 +1,104 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+
+/**
+ * Batch evaluation harness — the Spark rebuild of pred.py: score a labeled
+ * split with a frozen model, then compute micro P/R/F1 (excluding
+ * no_relation), the per-relation report, and the wrong-example dump
+ * (reference: pred.py:44-92, plot_utils.py:80-96).
+ *
+ * Scale shape: scoring is one narrow mapPartitions over the examples; every
+ * report is a small aggregation over (pred, targ) pairs. The wrongs dump is
+ * the J3 id-join realized as a filter on the scored rows themselves (the
+ * reference joins back by id because its preds live in a separate array —
+ * ours never leave the row).
+ */
+object Evaluate {
+
+  final case class ScoredExample(
+      id: Long, pred: String, targ: String,
+      subjectId: String, objectId: String, confidence: Double,
+      words: Seq[String])
+
+  /** Score a labeled split with the frozen bundle (sent model, kbp.py path:
+    * featurize add=false, ignore-failures, mask, argmax, softmax conf). */
+  def scoreExamples(spark: SparkSession, examples: Dataset[SentenceExample],
+      bundleBc: Broadcast[Pipeline.ScoringBundle],
+      errorAcc: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[ScoredExample] = {
+    import spark.implicits._
+    val errors = errorAcc.getOrElse(spark.sparkContext.longAccumulator("eval_featurize_errors"))
+    examples.mapPartitions { it =>
+      val b = bundleBc.value
+      val scorer = new Scorer(b.weights, b.typechecker)
+      it.flatMap { ex =>
+        try {
+          val (seq, sNer, oNer) = Pipeline.featurizeSent(ex, b)
+          val (relId, conf) = scorer.predict(seq, sNer, oNer)
+          Some(ScoredExample(
+            FeaturizeStage.stableId(ex),
+            b.rel.index2word(relId),
+            ex.relation.getOrElse(""),
+            ex.subjectId.getOrElse(ex.subject), ex.objectId.getOrElse(ex.objectVal),
+            conf, ex.words))
+        } catch {
+          case _: NoPathException | _: NoSuchElementException => errors.add(1); None
+        }
+      }
+    }
+  }
+
+  /** Score via the SINGLE-PATH dependency featurizer (M6+M7a end to end):
+    * shortest dependency path → interleaved token/arc sequence → same LSTM
+    * kernel. Path failures (disconnected/overlap) follow P14-ignore. */
+  def scoreSinglePath(spark: SparkSession, examples: Dataset[SentenceExample],
+      bundleBc: Broadcast[Pipeline.ScoringBundle]): Dataset[ScoredExample] = {
+    import spark.implicits._
+    examples.mapPartitions { it =>
+      val b = bundleBc.value
+      val vocabs = b.toVocabSet
+      val featurizer = new SinglePathDependencyFeaturizer(vocabs)
+      val scorer = new Scorer(b.weights, b.typechecker)
+      it.flatMap { ex =>
+        try {
+          val feat = featurizer.featurize(ex, add = false)
+          val (relId, conf) = scorer.predict(feat.sequence.toArray, feat.subjectNer, feat.objectNer)
+          Some(ScoredExample(FeaturizeStage.stableId(ex), b.rel.index2word(relId),
+            ex.relation.getOrElse(""), feat.subjectId, feat.objectId, conf, ex.words))
+        } catch {
+          case _: NoPathException | _: NoSuchElementException | _: IllegalArgumentException => None
+        }
+      }
+    }
+  }
+
+  final case class Report(
+      micro: Metrics.PRF,
+      accuracy: Double,
+      perRelation: DataFrame,
+      wrongs: DataFrame)
+
+  /** Full pred.py-style evaluation: micro metrics + per-relation report +
+    * wrongs table, plus a best_scores.json sink when `scoresPath` is set. */
+  def run(spark: SparkSession, examples: Dataset[SentenceExample],
+      bundleBc: Broadcast[Pipeline.ScoringBundle],
+      scoresPath: Option[String] = None): Report = {
+    val scored = scoreExamples(spark, examples, bundleBc).toDF().persist()
+    try {
+      val micro = Metrics.microPRF(scored, "pred", "targ")
+      val accRow = scored.agg(
+        sum(when(col("pred") === col("targ"), 1L).otherwise(0L)), count(lit(1))).head()
+      val accuracy =
+        if (accRow.getLong(1) == 0) 0.0 else accRow.getLong(0).toDouble / accRow.getLong(1)
+      val perRel = Metrics.perRelationReport(scored, "pred", "targ")
+      val wrongs = scored.filter(col("pred") =!= col("targ"))
+        .select(col("id"), col("targ"), col("pred"), col("confidence"), col("words"))
+      scoresPath.foreach(p => Metrics.writeScoresJson(p, Map(
+        "precision" -> micro.precision, "recall" -> micro.recall,
+        "f1" -> micro.f1, "accuracy" -> accuracy)))
+      Report(micro, accuracy, perRel.persist(), wrongs.persist())
+    } finally scored.unpersist()
+  }
+}

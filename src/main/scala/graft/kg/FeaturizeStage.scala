@@ -47,8 +47,7 @@ object FeaturizeStage {
       .filter((ex: SentenceExample) => !ex.relation.exists(Adaptors.ignoreRelations)) // P11
       .mapPartitions { it =>
         val b = bundleBc.value
-        val vocabs = frozenVocabs(b)
-        val featurizer = new SentenceFeaturizer(vocabs, b.scope)
+        val featurizer = new SentenceFeaturizer(b.toVocabSet, b.scope)
         val noRel = b.rel("no_relation")
         it.flatMap { ex =>
           val feat0 =
@@ -83,15 +82,6 @@ object FeaturizeStage {
       r += 1
     }
     any
-  }
-
-  /** Rebuild frozen lookup vocabs from broadcast views (no driver state). */
-  private def frozenVocabs(b: Pipeline.ScoringBundle): VocabSet = {
-    val v = new VocabSet
-    b.rel.index2word.foreach(v.rel.add(_))
-    b.ner.index2word.foreach(v.ner.add(_))
-    b.word.index2word.foreach(v.word.add(_))
-    v
   }
 
   /** 64-bit FNV-1a over identifying fields — deterministic example id. */

@@ -161,7 +161,57 @@ object Gen {
     }
     allEntities.foreach(_.surfaces.foreach(_.split(" ").foreach(v.word.add(_))))
     Seq("0000", "00").foreach(v.word.add(_))
+    // arc tokens for the single-path featurizer's interleaved sequences
+    chainArcs.foreach { a => v.word.add(a + "_from"); v.word.add(a + "_to") }
     v
+  }
+
+  /** Arc inventory for generated chain dependency parses. */
+  val chainArcs: Seq[String] =
+    Seq("det", "nsubj", "dobj", "nmod", "case", "amod", "compound")
+
+  /**
+   * Labeled canonical example i (S3-eval-style): a template sentence with
+   * gold relation and a deterministic chain dependency parse (token j's
+   * parent is j+1; last token is root) — connected, so the single-path
+   * featurizer always finds a path between the entity heads.
+   */
+  def labeledExample(seed: Long, i: Long): SentenceExample = {
+    val rng = new Rng(seed * 0xD6E8FEB86659FD93L + i * 0x9E3779B97F4A7C15L + 5)
+    val t = templates(rng.nextInt(templates.length))
+    var subj = pickEntity(rng, t.subjPool)
+    var obj = pickEntity(rng, t.objPool)
+    var guard = 0
+    while (subj.id == obj.id && guard < 5) { obj = pickEntity(rng, t.objPool); guard += 1 }
+    val sSurf = surfaceOf(rng, subj).split(" ").toSeq
+    val oSurf = surfaceOf(rng, obj).split(" ").toSeq
+    val patToks = t.pattern.split(" ").toSeq
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sb = -1; var se = -1; var ob = -1; var oe = -1
+    patToks.foreach {
+      case "{S}" => sb = tokens.length; tokens ++= sSurf; se = tokens.length
+      case "{O}" => ob = tokens.length; tokens ++= oSurf; oe = tokens.length
+      case w => tokens += w
+    }
+    val words = Adaptors.zeroDigits(tokens.toSeq.map(Adaptors.asciiLower))
+    val n = words.length
+    val dependency = (0 until n).map { j =>
+      if (j == n - 1) DepEdge(j, -1, "root")
+      else DepEdge(j, j + 1, chainArcs(j % chainArcs.length))
+    }
+    def nerOf(pool: String) = pool match {
+      case "person" => "PERSON"
+      case "org" | "school" => "ORGANIZATION"
+      case "city" => "CITY"
+      case "country" => "COUNTRY"
+    }
+    val sNer = nerOf(t.subjPool); val oNer = nerOf(t.objPool)
+    val ner = words.indices.map(j =>
+      if (j >= sb && j < se) sNer else if (j >= ob && j < oe) oNer else "O")
+    SentenceExample(words, words, words.map(_ => "NN"), ner, dependency,
+      sb, se, words.slice(sb, se).mkString(" "), sNer,
+      ob, oe, words.slice(ob, oe).mkString(" "), oNer,
+      Some(t.relation), Some(subj.id), Some(obj.id))
   }
 
   // ---- page generation -------------------------------------------------------

@@ -27,7 +27,17 @@ object Pipeline {
   final case class ScoringBundle(
       word: VocabView, ner: VocabView, rel: VocabView,
       gazetteer: Map[String, String], gazMaxLen: Int,
-      weights: ScorerWeights, typechecker: TypeChecker, scope: Int) extends Serializable
+      weights: ScorerWeights, typechecker: TypeChecker, scope: Int) extends Serializable {
+    /** Frozen lookup vocabs rebuilt from the broadcast views (for code
+      * paths that need the reference's Vocab API, e.g. featurizers). */
+    def toVocabSet: VocabSet = {
+      val v = new VocabSet
+      rel.index2word.foreach(v.rel.add(_))
+      ner.index2word.foreach(v.ner.add(_))
+      word.index2word.foreach(v.word.add(_))
+      v
+    }
+  }
 
   /** Driver-side deterministic construction of all side inputs (S6/S7 +
     * gazetteer): frozen vocab, fixture weights, typecheck tensor. */
@@ -78,17 +88,23 @@ object Pipeline {
           Segment.sentences(text).zipWithIndex.flatMap { case (sent, sentIdx) =>
             val tokens = Segment.tokenize(sent)
             val mentions = Segment.detectMentions(tokens, b.gazetteer, b.gazMaxLen)
-            Segment.candidatePairs(mentions).flatMap { case (s, o) =>
-              try {
-                val ex = Segment.toExample(tokens, s, o)
-                val feat = featurizeSent(ex, b)
-                val (relId, conf) = scorer.predict(feat._1, feat._2, feat._3)
-                if (relId == noRelId) None
-                else Some(ScoredPair(url, sentIdx, s.surface, s.ner, o.surface, o.ner,
-                  b.rel.index2word(relId), conf))
-              } catch {
-                case _: NoPathException => errorCount.add(1); None
-                case _: NoSuchElementException => errorCount.add(1); None
+            if (mentions.isEmpty) Nil
+            else {
+              // hoisted per-sentence work: P3/P4 adaptor normalization and
+              // word-id lookup happen once, not once per candidate pair
+              val words = Adaptors.zeroDigits(tokens.map(Adaptors.asciiLower)).toIndexedSeq
+              val wordIds = words.map(b.word(_))
+              Segment.candidatePairs(mentions).flatMap { case (s, o) =>
+                try {
+                  val (seq, sNer, oNer) = blankedSequence(words, wordIds, s, o, b)
+                  val (relId, conf) = scorer.predict(seq, sNer, oNer)
+                  if (relId == noRelId) None
+                  else Some(ScoredPair(url, sentIdx, s.surface, s.ner, o.surface, o.ner,
+                    b.rel.index2word(relId), conf))
+                } catch {
+                  case _: NoPathException => errorCount.add(1); None
+                  case _: NoSuchElementException => errorCount.add(1); None
+                }
               }
             }
           }
@@ -96,9 +112,44 @@ object Pipeline {
       }
   }
 
+  /** Allocation-light sent-model featurization for the fused kernel:
+    * identical math to [[SentenceFeaturizer]] (scope applied; overlap
+    * rejected; spans blanked to NER-type tokens) over pre-normalized,
+    * pre-id-mapped words. One int-array allocation per candidate pair. */
+  private def blankedSequence(words: IndexedSeq[String], wordIds: IndexedSeq[Int],
+      s: Mention, o: Mention, b: ScoringBundle): (Array[Int], Int, Int) = {
+    def isBetween(x: Int, start: Int, end: Int) = x >= start && x < end
+    if (isBetween(s.begin, o.begin, o.end) || isBetween(o.begin, s.begin, s.end))
+      throw new NoPathException("overlapping spans")
+    val subjFirst = s.begin < o.begin
+    val (fBegin, fEnd, fNer) = if (subjFirst) (s.begin, s.end, s.ner) else (o.begin, o.end, o.ner)
+    val (sBegin, sEnd, sNer) = if (subjFirst) (o.begin, o.end, o.ner) else (s.begin, s.end, s.ner)
+    val fullLen = words.length - (fEnd - fBegin) - (sEnd - sBegin) + 2
+    val firstPos = fBegin
+    val secondPos = fBegin + 1 + (sBegin - fEnd)
+    val (from, until) =
+      if (b.scope > 0)
+        (math.max(0, firstPos - b.scope), math.min(fullLen, secondPos + b.scope + 1))
+      else (0, fullLen)
+    val out = new Array[Int](until - from)
+    var w = 0 // position in the blanked sequence
+    var k = 0 // output cursor
+    @inline def emit(id: Int): Unit = { if (w >= from && w < until) { out(k) = id; k += 1 }; w += 1 }
+    var i = 0
+    while (i < fBegin) { emit(wordIds(i)); i += 1 }
+    emit(b.word(fNer))
+    i = fEnd
+    while (i < sBegin) { emit(wordIds(i)); i += 1 }
+    emit(b.word(sNer))
+    i = sEnd
+    while (i < words.length) { emit(wordIds(i)); i += 1 }
+    (out, b.ner(s.ner), b.ner(o.ner))
+  }
+
   /** Sent-model featurization against frozen VocabViews (no mutation on
-    * executors) — same math as [[SentenceFeaturizer]] with add=false. */
-  private def featurizeSent(ex: SentenceExample, b: ScoringBundle): (Array[Int], Int, Int) = {
+    * executors) — same math as [[SentenceFeaturizer]] with add=false.
+    * Used by the evaluation harness over canonical [[SentenceExample]]s. */
+  private[kg] def featurizeSent(ex: SentenceExample, b: ScoringBundle): (Array[Int], Int, Int) = {
     def isBetween(x: Int, start: Int, end: Int) = x >= start && x < end
     if (isBetween(ex.subjectBegin, ex.objectBegin, ex.objectEnd) ||
         isBetween(ex.objectBegin, ex.subjectBegin, ex.subjectEnd))

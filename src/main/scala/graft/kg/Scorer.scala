@@ -58,16 +58,21 @@ object ScorerWeights {
     Array.fill(rows)(Array.fill(cols)(rng.uniform(scale)))
 
   /** The frozen fixture weights (seed fixed): defines reference semantics
-    * for the golden-triple gate. */
+    * for the golden-triple gate. Each tensor gets its own sub-seeded RNG so
+    * growing the vocab (more embedding rows) leaves every other tensor —
+    * and existing embedding rows — bit-identical. */
   def fixture(vocabSize: Int, embDim: Int = 16, hidden: Int = 24, relSize: Int, seed: Long = 42L): ScorerWeights = {
-    val rng = new Rng(seed)
+    def rng(k: Int) = new Rng(seed * 0x9E3779B97F4A7C15L + k * 0xC2B2AE3D27D4EB4FL + 17)
+    def vec(k: Int, n: Int, scale: Float, base: Float = 0f) = {
+      val r = rng(k); Array.fill(n)(base + r.uniform(scale))
+    }
     ScorerWeights(
-      embedding = mat(rng, vocabSize, embDim, 0.5f),
-      wI = mat(rng, embDim, hidden, 0.3f), uI = mat(rng, hidden, hidden, 0.3f), bI = Array.fill(hidden)(rng.uniform(0.1f)),
-      wF = mat(rng, embDim, hidden, 0.3f), uF = mat(rng, hidden, hidden, 0.3f), bF = Array.fill(hidden)(1f + rng.uniform(0.1f)),
-      wC = mat(rng, embDim, hidden, 0.3f), uC = mat(rng, hidden, hidden, 0.3f), bC = Array.fill(hidden)(rng.uniform(0.1f)),
-      wO = mat(rng, embDim, hidden, 0.3f), uO = mat(rng, hidden, hidden, 0.3f), bO = Array.fill(hidden)(rng.uniform(0.1f)),
-      dense = mat(rng, hidden, relSize, 0.5f), denseB = Array.fill(relSize)(rng.uniform(0.1f)),
+      embedding = mat(rng(0), vocabSize, embDim, 0.5f),
+      wI = mat(rng(1), embDim, hidden, 0.3f), uI = mat(rng(2), hidden, hidden, 0.3f), bI = vec(3, hidden, 0.1f),
+      wF = mat(rng(4), embDim, hidden, 0.3f), uF = mat(rng(5), hidden, hidden, 0.3f), bF = vec(6, hidden, 0.1f, 1f),
+      wC = mat(rng(7), embDim, hidden, 0.3f), uC = mat(rng(8), hidden, hidden, 0.3f), bC = vec(9, hidden, 0.1f),
+      wO = mat(rng(10), embDim, hidden, 0.3f), uO = mat(rng(11), hidden, hidden, 0.3f), bO = vec(12, hidden, 0.1f),
+      dense = mat(rng(13), hidden, relSize, 0.5f), denseB = vec(14, relSize, 0.1f),
       dropout = 0.5f)
   }
 }

@@ -183,6 +183,47 @@ class StageSpec extends AnyFunSuite {
     assert(got.getInt(0) === 1)
   }
 
+  test("evaluation harness: pred.py lifecycle (score → micro PRF → report → wrongs)") {
+    import spark.implicits._
+    val bundleBc = spark.sparkContext.broadcast(Pipeline.buildBundle())
+    val examples = spark.range(300).map(i => Gen.labeledExample(42L, i))
+    val dir = Files.createTempDirectory("graft-eval")
+    val report = Evaluate.run(spark, examples, bundleBc,
+      scoresPath = Some(s"$dir/best_scores.json"))
+    assert(report.micro.targPos > 0)
+    assert(report.micro.precision >= 0.0 && report.micro.precision <= 1.0)
+    assert(report.perRelation.count() > 0)
+    val wrongs = report.wrongs.count()
+    assert(wrongs > 0, "untrained fixture weights must produce some wrong predictions")
+    val json = new String(Files.readAllBytes(dir.resolve("best_scores.json")), "UTF-8")
+    assert(json.contains("\"f1\""))
+    // determinism: same inputs → same metrics
+    val again = Evaluate.run(spark, examples, bundleBc)
+    assert(again.micro === report.micro)
+    Lineage.deleteRecursively(dir.toString)
+  }
+
+  test("single-path dependency scoring end-to-end over chain parses") {
+    import spark.implicits._
+    val bundleBc = spark.sparkContext.broadcast(Pipeline.buildBundle())
+    val examples = spark.range(200).map(i => Gen.labeledExample(42L, i))
+    val scored = Evaluate.scoreSinglePath(spark, examples, bundleBc).collect()
+    assert(scored.length > 150, s"most chain parses must featurize: ${scored.length}")
+    assert(scored.forall(s => s.confidence > 0 && s.confidence <= 1))
+    // deterministic
+    val again = Evaluate.scoreSinglePath(spark, examples, bundleBc).collect()
+    assert(scored.map(_.id).sorted.toSeq === again.map(_.id).sorted.toSeq)
+  }
+
+  test("labeled example generator: spans, chain parse, determinism") {
+    val ex = Gen.labeledExample(42L, 7L)
+    assert(ex === Gen.labeledExample(42L, 7L))
+    assert(ex.subject === ex.words.slice(ex.subjectBegin, ex.subjectEnd).mkString(" "))
+    assert(ex.dependency.last.arc === "root")
+    assert(ex.relation.isDefined)
+    assert(ex.subjectId.exists(_.nonEmpty))
+  }
+
   test("streaming scoring via foreachBatch (B2 micro-batch analog)") {
     val dir = Files.createTempDirectory("graft-pages").toString
     import spark.implicits._

@@ -40,6 +40,19 @@ object SparkEntry {
       graft.kg.Evaluate.run(s, examples, bundleBc).perRelation
     }),
 
+    // M1 model-zoo dispatch: every model shape × both cell types scores the
+    // same labeled split (sent channel for single*, 4-channel for concat)
+    "kg_model_zoo" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val examples = s.range(150).map(i => graft.kg.Gen.labeledExample(42L, i))
+      graft.kg.Evaluate.zooSummary(s, examples, bundleBc, Seq(
+        graft.kg.Models.ModelConfig("single_small", "lstm"),
+        graft.kg.Models.ModelConfig("single", "lstm"),
+        graft.kg.Models.ModelConfig("single_conv", "gru"),
+        graft.kg.Models.ModelConfig("concat", "gru")))
+    }),
+
     // single-path dependency featurizer end-to-end (M6 + M7a): shortest
     // dependency path → interleaved sequence → LSTM → masked argmax
     "kg_singlepath" -> ((s, _) => {

@@ -74,6 +74,49 @@ object Evaluate {
     }
   }
 
+  /** Score a labeled split under every model-zoo config (M1 dispatch
+    * surface, models.py:19-28): per-config counts + mean confidence. */
+  def zooSummary(spark: SparkSession, examples: Dataset[SentenceExample],
+      bundleBc: Broadcast[Pipeline.ScoringBundle],
+      configs: Seq[Models.ModelConfig]): DataFrame = {
+    import spark.implicits._
+    val results = configs.map { config =>
+      val scored = examples.mapPartitions { it =>
+        val b = bundleBc.value
+        val vocabs = b.toVocabSet
+        val zoo = Models.get(config, b)
+        val sentF = new SentenceFeaturizer(vocabs, b.scope)
+        val concatF = new ConcatenatedDependencyFeaturizer(vocabs)
+        it.flatMap { ex =>
+          try {
+            val channels =
+              if (config.model == "concat") {
+                val (_, ch) = concatF.featurizeChannels(ex, add = false)
+                Array(ch.words.toArray, ch.ner.toArray, ch.pos.toArray, ch.arc.toArray)
+              } else {
+                val feat = sentF.featurize(ex, add = false)
+                Array(feat.sequence.toArray)
+              }
+            val (relId, conf) = zoo.predict(channels,
+              vocabs.ner(ex.subjectNer), vocabs.ner(ex.objectNer))
+            Some((b.rel.index2word(relId), conf))
+          } catch {
+            case _: NoPathException | _: NoSuchElementException |
+                 _: IllegalArgumentException => None
+          }
+        }
+      }.toDF("pred", "conf")
+      scored.agg(
+        count(lit(1)).as("scored"),
+        sum(when(col("pred") =!= "no_relation", 1L).otherwise(0L)).as("positive"),
+        round(avg(col("conf")), 4).as("avg_conf"))
+        .withColumn("model", lit(config.model))
+        .withColumn("rnn", lit(config.rnn))
+    }
+    results.reduce(_.unionByName(_))
+      .select(col("model"), col("rnn"), col("scored"), col("positive"), col("avg_conf"))
+  }
+
   final case class Report(
       micro: Metrics.PRF,
       accuracy: Double,

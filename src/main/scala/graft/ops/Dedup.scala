@@ -43,24 +43,34 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash signature over the 3-token shingle set, k permutation-free
-    * hashes: h_i(doc) = min over shingles of md5(i || shingle). */
+    * hashes: h_i(doc) = min over shingles of md5(i || shingle).
+    * NO distinct before the groupBy: min over the shingle MULTISET equals
+    * min over the set, so deduplicating first would only add a full
+    * shuffle — the partial min aggregates map-side instead. */
   def minhashSignatures(documents: DataFrame, k: Int = 4): DataFrame = {
     val sigs = (1 to k).map(i => min(md5(concat(lit(i.toString), col("shingle")))).as(s"h$i"))
     documents
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .distinct()
       .groupBy(col("doc_id"))
       .agg(sigs.head, sigs.tail: _*)
   }
 
-  /** LSH banding: candidate near-dup pairs sharing band (h1, h2). */
-  def lshCandidatePairs(documents: DataFrame): DataFrame = {
-    val sig = minhashSignatures(documents, 4)
-    val a = sig.select(col("doc_id").as("doc_a"), col("h1"), col("h2"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("h1"), col("h2"))
-    a.join(b, Seq("h1", "h2"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+  /** LSH banding: candidate near-dup pairs sharing band (h1, h2).
+    *
+    * One pass: group signatures by band key and expand pairs inside each
+    * bucket — no self-join (which would recompute the signature subplan on
+    * both sides) and exactly one shuffle, keyed by band. Bucket size is
+    * capped at `maxBucket` (a true near-dup cluster bigger than that wants
+    * representative-dedup, not all-pairs); the cap never binds on sane data
+    * and is a guard against boilerplate mega-clusters at web scale. */
+  def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 10000): DataFrame = {
+    val sig = minhashSignatures(documents, 2) // band = (h1, h2)
+    sig.groupBy(col("h1"), col("h2"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"),
+        explode(filter(col("ids"), x => x > col("doc_a"))).as("doc_b"))
   }
 
   /** 64-bit SimHash over unigram tokens (weights = term frequency).

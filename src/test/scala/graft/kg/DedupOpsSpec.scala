@@ -1,0 +1,84 @@
+package graft.kg
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Dedup-operator correctness on constructed duplicates (the driver tables
+  * contain none), plus physical-strategy and skew-spreading assertions. */
+class DedupOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")).cast("long"))
+
+  private val d = docs(
+    (1L, "alpha beta gamma delta epsilon zeta", "en"),
+    (2L, "alpha beta gamma delta epsilon zeta", "en"),   // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon eta", "en"),    // near dup (1 token off)
+    (4L, "completely different words entirely here now", "en"),
+    (5L, "alpha beta gamma delta epsilon zeta", "de"))   // exact dup, other lang
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val got = graft.ops.Dedup.exact(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 3)
+    val dupGroup = got.find(_._3 == 3L).get
+    assert(dupGroup._2 === 1L) // keeper is the smallest id
+  }
+
+  test("minhash: identical docs get identical signatures; near-dups share band") {
+    val sig = graft.ops.Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) === sig(5L))
+    assert(sig(1L) !== sig(4L))
+    val pairs = graft.ops.Dedup.lshCandidatePairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("shingle jaccard: identical docs = 1.0; near dups high; distinct docs absent") {
+    val j = graft.ops.Dedup.ngramJaccard(d, cap = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.5)
+    assert(!j.contains((1L, 4L))) // no shared shingles
+    // lang-restricted: doc 5 (de) never pairs with en docs
+    assert(!j.keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical text hamming 0 → pair found; distinct text far") {
+    val pairs = graft.ops.Dedup.simhashPairs(d, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => (p._1, p._2) == ((1L, 4L))))
+  }
+
+  test("linkBroadcast plans a BroadcastHashJoin; linkSalted plans a shuffle join") {
+    val pages = Pipeline.generatePages(spark, 30)
+    val bundle = spark.sparkContext.broadcast(Pipeline.buildBundle())
+    val scored = Pipeline.scorePages(spark, pages, bundle)
+    val dict = Pipeline.entityDict(spark)
+    val bPlan = Pipeline.linkBroadcast(scored, dict).queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), s"expected BHJ in:\n$bPlan")
+    val sPlan = Pipeline.linkSalted(scored, dict).queryExecution.executedPlan.toString
+    assert(sPlan.contains("SortMergeJoin") || sPlan.contains("ShuffledHashJoin"),
+      s"expected shuffle join in:\n$sPlan")
+  }
+
+  test("salting spreads the Zipf-hot key across all salt buckets") {
+    val pages = Pipeline.generatePages(spark, 200)
+    val bundle = spark.sparkContext.broadcast(Pipeline.buildBundle())
+    val scored = Pipeline.scorePages(spark, pages, bundle)
+    val hot = scored.filter(col("objectSurface") === "united states")
+      .withColumn("salt", pmod(xxhash64(col("url"), col("sentIdx")), lit(8)).cast("int"))
+    val saltCount = hot.select("salt").distinct().count()
+    assert(hot.count() > 20, "need enough hot-key rows for the spread test")
+    assert(saltCount >= 6, s"hot key must spread over most salt buckets, got $saltCount")
+  }
+}

@@ -144,3 +144,20 @@ final class ConcatenatedDependencyFeaturizer(val vocabs: VocabSet) extends Depen
   def featurize(ex: SentenceExample, add: Boolean = false): Featurized =
     featurizeChannels(ex, add)._1
 }
+
+/** Featurizer registry — the reference's config-string dispatch
+  * (reference: train.py:135-141): sent = whole sentence (scope −1),
+  * sent0/sent3 = scoped windows, single = dependency path, concat =
+  * multi-channel path. */
+object Featurizers {
+  val names: Seq[String] = Seq("sent", "sent0", "sent3", "single", "concat")
+
+  def apply(name: String, vocabs: VocabSet): Featurizer = name match {
+    case "sent" => new SentenceFeaturizer(vocabs, scope = -1)
+    case "sent0" => new SentenceFeaturizer(vocabs, scope = 0)
+    case "sent3" => new SentenceFeaturizer(vocabs, scope = 3)
+    case "single" => new SinglePathDependencyFeaturizer(vocabs)
+    case "concat" => new ConcatenatedDependencyFeaturizer(vocabs)
+    case other => throw new IllegalArgumentException(s"unknown featurizer: $other")
+  }
+}

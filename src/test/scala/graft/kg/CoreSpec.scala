@@ -102,6 +102,21 @@ class FeaturizerSpec extends AnyFunSuite {
       Seq(",", "PERSON", "had", "O", "for"))
   }
 
+  test("featurizer registry dispatches all five config strings (train.py:135-141)") {
+    Featurizers.names.foreach { name =>
+      val f = Featurizers(name, new VocabSet)
+      val got = f.featurize(fixtureExample, add = true)
+      assert(got.length > 0, s"$name must featurize the fixture")
+    }
+    // bug-compatible scope semantics: the reference slices only when
+    // scope > 0 (featurizers.py:188), so sent0 ≡ whole sentence like sent
+    val v = new VocabSet
+    val sent0 = Featurizers("sent0", v).featurize(fixtureExample, add = true)
+    assert(sent0.sequence.map(v.word.index2word(_)) ===
+      Seq("yesterday", ",", "PERSON", "had", "O", "for", "dinner"))
+    assertThrows[IllegalArgumentException](Featurizers("nope", new VocabSet))
+  }
+
   test("sentence featurizer rejects overlapping spans (featurizers.py:175-177)") {
     val vocabs = new VocabSet
     val f = new SentenceFeaturizer(vocabs)

@@ -58,6 +58,46 @@ object Lineage {
     if (Files.exists(p)) Files.delete(p)
   }
 
+  /**
+   * Iceberg-style snapshot manifest (SURVEY.md §4.3.4: no Iceberg jar in
+   * this environment, so table commits are recorded as a snapshot JSON per
+   * write listing data files with sizes + row count). Snapshots are
+   * numbered; the latest is the table's current state. If an
+   * iceberg-spark-runtime jar ever appears, this layer is replaced by a
+   * catalog config swap.
+   */
+  def writeSnapshot(outDir: String, table: String, rowCount: Long): Int = {
+    val tableDir = Paths.get(outDir, table)
+    val files =
+      if (Files.isDirectory(tableDir))
+        Files.list(tableDir).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(p => (p.getFileName.toString, Files.size(p)))
+          .toSeq.sortBy(_._1)
+      else Seq.empty
+    val manifestDir = Paths.get(outDir, "_manifest")
+    Files.createDirectories(manifestDir)
+    val existing = snapshots(outDir, table)
+    val id = existing.map(_ + 1).getOrElse(0)
+    val body =
+      s"""{"table":"${table}","snapshot":$id,"rows":$rowCount,"files":[""" +
+        files.map { case (n, s) => s"""{"name":"$n","bytes":$s}""" }.mkString(",") + "]}"
+    Files.write(manifestDir.resolve(s"$table.snapshot-$id.json"),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    id
+  }
+
+  /** Latest snapshot id of a table, if any. */
+  def snapshots(outDir: String, table: String): Option[Int] = {
+    val manifestDir = Paths.get(outDir, "_manifest")
+    if (!Files.isDirectory(manifestDir)) return None
+    val pat = s"""${java.util.regex.Pattern.quote(table)}\\.snapshot-(\\d+)\\.json""".r
+    val ids = Files.list(manifestDir).iterator().asScala.flatMap { p =>
+      pat.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt)
+    }.toSeq
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
   def deleteRecursively(dir: String): Unit = {
     val root = Paths.get(dir)
     if (Files.exists(root))

@@ -281,6 +281,8 @@ object Pipeline {
     val nTriples = spark.read.parquet(s"$outDir/edges").count()
     val nNodes = spark.read.parquet(s"$outDir/nodes").count()
     Lineage.append(outDir, "graph", Seq(Lineage.BucketRecord(-1, nTriples, errorAcc.value)))
+    Lineage.writeSnapshot(outDir, "edges", nTriples)
+    Lineage.writeSnapshot(outDir, "nodes", nNodes)
     RunReport(remainingBuckets, done.toSeq.sorted, nTriples, nNodes, errorAcc.value)
   }
 

@@ -91,15 +91,25 @@ class PipelineSpec extends AnyFunSuite {
     } finally { Lineage.deleteRecursively(dir); Lineage.deleteRecursively(fullDir) }
   }
 
-  test("lineage manifest records per-bucket row counts") {
+  test("lineage manifest records per-bucket row counts; snapshots advance per commit") {
     val dir = Files.createTempDirectory("graft-lineage").toString
     try {
       val pages = Pipeline.generatePages(spark, 40)
-      Pipeline.runCheckpointed(spark, pages, dir, buckets = 4)
+      val r = Pipeline.runCheckpointed(spark, pages, dir, buckets = 4)
       val recs = Lineage.read(dir, "triples_raw")
       assert(recs.map(_.bucket).sorted === Seq(0, 1, 2, 3))
       val rawCount = spark.read.parquet(s"$dir/triples_raw").count()
       assert(recs.map(_.rowsOut).sum === rawCount)
+      // Iceberg-style snapshots: edges/nodes committed as snapshot 0
+      assert(Lineage.snapshots(dir, "edges") === Some(0))
+      assert(Lineage.snapshots(dir, "nodes") === Some(0))
+      val snap = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_manifest", "edges.snapshot-0.json")), "UTF-8")
+      assert(snap.contains(s""""rows":${r.triples}"""))
+      assert(snap.contains(".parquet"))
+      // a second commit advances the snapshot id
+      Pipeline.runCheckpointed(spark, pages, dir, buckets = 4)
+      assert(Lineage.snapshots(dir, "edges") === Some(1))
     } finally Lineage.deleteRecursively(dir)
   }
 

@@ -281,6 +281,8 @@ object SparkEntry {
       Similarity.lshCosineTopK(e.filter(col("vec_id") =!= 0), q, 10)
     }),
     "q_nn_join" -> ((s, dir) => Similarity.nearestNeighborJoin(t(s, dir, "embeddings"), 100)),
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 150, 0.3)),
 
     // ---- text analysis -----------------------------------------------------------
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
@@ -524,6 +526,16 @@ object SparkEntry {
            AS cosine
          FROM e a, e b WHERE a.vec_id <> b.vec_id
          QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY cosine DESC, b.vec_id ASC) = 1""",
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings WHERE vec_id < 150),
+         pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.emb, b.emb) /
+             (SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb))), 4)
+           AS cosine
+           FROM e a, e b WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3""",
 
     "q_lang_id" ->
       """WITH h AS (SELECT doc_id,

@@ -77,6 +77,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
+    * threshold within a bounded id range (the exact, oracle-checkable form;
+    * at corpus scale the LSH-bucketed variant restricts candidates to
+    * same-bucket pairs first — compose [[withLshBucket]] + this predicate). */
+  def cosineNearDupPairs(embeddings: DataFrame, cap: Int = 150, minCosine: Double = 0.3): DataFrame = {
+    val e = asDouble(embeddings).filter(col("vec_id") < cap)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col("emb_a"), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col("emb_b"), lit(0.0), (acc, x) => acc + x * x))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(dot / (na * nb), 4).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** All-pairs exact top-1 neighbor per vector, bounded demo (vec_id < cap):
     * the oracle-checkable all-pairs form. */
   def nearestNeighborJoin(embeddings: DataFrame, cap: Int = 100): DataFrame = {

@@ -113,6 +113,29 @@ class PipelineSpec extends AnyFunSuite {
     } finally Lineage.deleteRecursively(dir)
   }
 
+  test("pages TABLE at rest (input-hint shape) → identical triples as in-memory corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pages-table").toString
+    try {
+      // write the pages table with ALL input-hint columns populated
+      Pipeline.generatePages(spark, 50, withText = true)
+        .write.mode("overwrite").parquet(dir)
+      val onDisk = spark.read.parquet(dir)
+      assert(onDisk.schema.fieldNames.toSet ===
+        Set("url", "warc_ts", "html", "text", "lang"))
+      val fromTable = tripleSet(Pipeline.extractTriples(spark, onDisk.as[Page]))
+      val fromMemory = tripleSet(Pipeline.extractTriples(spark, Pipeline.generatePages(spark, 50)))
+      assert(fromTable === fromMemory)
+      // the scan is pruned: scoring consumes only url+html
+      val plan = Pipeline.scorePages(spark, onDisk.as[Page],
+        spark.sparkContext.broadcast(Pipeline.buildBundle()))
+        .queryExecution.executedPlan.toString
+      val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+      assert(read.exists(s => s.contains("url") && s.contains("html") && !s.contains("text")),
+        s"pages scan must prune to url+html: $read\n$plan")
+    } finally Lineage.deleteRecursively(dir)
+  }
+
   test("triple P/R vs frozen reference extractions >= 0.95 (BASELINE gate)") {
     val goldenPath = getClass.getResource("/golden_triples.tsv")
     assume(goldenPath != null, "golden fixture not yet generated — run graft.kg.GoldenGen")

@@ -248,6 +248,17 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
     }),
 
+    // window frame: per-user running sum over event time
+    "q_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+    }),
+
     // deterministic top-k
     "q_topk_docs" -> ((s, dir) =>
       t(s, dir, "documents").orderBy(col("n_chars").desc, col("doc_id").asc)
@@ -467,6 +478,13 @@ object SparkEntry {
 
     "q_topk_docs" ->
       "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
+
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         FROM events""",
 
     "q_length_buckets" ->
       """SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, COUNT(*) AS cnt

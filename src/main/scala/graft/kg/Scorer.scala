@@ -82,6 +82,41 @@ final class Scorer(weights: ScorerWeights, typechecker: TypeChecker) extends Ser
 
   private val retain = 1f - dropout
 
+  /** Precomputed input-gate projections per vocab id: the embedding row is
+    * a pure function of the id, so W_g·(emb[v]·retain) is computed once per
+    * id instead of once per occurrence — removes the input matmul from
+    * every LSTM timestep (the recurrent U·h matmul remains). Built lazily
+    * per deserialized Scorer instance (per task), V×4H floats. */
+  @transient private lazy val inputGates: Array[Array[Float]] = {
+    val v = embedding.length
+    val table = new Array[Array[Float]](v)
+    val x = new Array[Float](embDim)
+    var id = 0
+    while (id < v) {
+      val emb = embedding(id)
+      var d = 0
+      while (d < embDim) { x(d) = emb(d) * retain; d += 1 }
+      val row = new Array[Float](4 * hidden)
+      // same accumulation order as the original addMatVec input pass
+      def acc(m: Array[Array[Float]], off: Int): Unit = {
+        var i = 0
+        while (i < embDim) {
+          val xi = x(i)
+          if (xi != 0f) {
+            val r = m(i)
+            var j = 0
+            while (j < hidden) { row(off + j) += xi * r(j); j += 1 }
+          }
+          i += 1
+        }
+      }
+      acc(wI, 0); acc(wF, hidden); acc(wC, 2 * hidden); acc(wO, 3 * hidden)
+      table(id) = row
+      id += 1
+    }
+    table
+  }
+
   @inline private def hardSigmoid(x: Float): Float = {
     val y = 0.2f * x + 0.5f
     if (y < 0f) 0f else if (y > 1f) 1f else y
@@ -112,21 +147,26 @@ final class Scorer(weights: ScorerWeights, typechecker: TypeChecker) extends Ser
   /** Raw logits for one sequence (single_small forward pass). */
   def logits(sequence: Array[Int]): Array[Float] = {
     val buf = scratch.get()
-    val h = buf(0); val c = buf(1); val x = buf(2)
+    val h = buf(0); val c = buf(1)
     val gi = buf(3); val gf = buf(4); val gc = buf(5); val go = buf(6)
     java.util.Arrays.fill(h, 0f); java.util.Arrays.fill(c, 0f)
+    val gates = inputGates
     var t = 0
     while (t < sequence.length) {
-      val emb = embedding(sequence(t))
-      var d = 0
-      while (d < embDim) { x(d) = emb(d) * retain; d += 1 } // test-time dropout scale
-      System.arraycopy(bI, 0, gi, 0, hidden); System.arraycopy(bF, 0, gf, 0, hidden)
-      System.arraycopy(bC, 0, gc, 0, hidden); System.arraycopy(bO, 0, go, 0, hidden)
-      addMatVec(wI, x, gi, embDim); addMatVec(uI, h, gi, hidden)
-      addMatVec(wF, x, gf, embDim); addMatVec(uF, h, gf, hidden)
-      addMatVec(wC, x, gc, embDim); addMatVec(uC, h, gc, hidden)
-      addMatVec(wO, x, go, embDim); addMatVec(uO, h, go, hidden)
+      val pre = gates(sequence(t))
       var j = 0
+      while (j < hidden) {
+        gi(j) = bI(j) + pre(j)
+        gf(j) = bF(j) + pre(hidden + j)
+        gc(j) = bC(j) + pre(2 * hidden + j)
+        go(j) = bO(j) + pre(3 * hidden + j)
+        j += 1
+      }
+      addMatVec(uI, h, gi, hidden)
+      addMatVec(uF, h, gf, hidden)
+      addMatVec(uC, h, gc, hidden)
+      addMatVec(uO, h, go, hidden)
+      j = 0
       while (j < hidden) {
         val i_ = hardSigmoid(gi(j)); val f_ = hardSigmoid(gf(j)); val o_ = hardSigmoid(go(j))
         c(j) = f_ * c(j) + i_ * math.tanh(gc(j)).toFloat

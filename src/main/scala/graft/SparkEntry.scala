@@ -106,6 +106,14 @@ object SparkEntry {
     "q_confusion" -> ((s, dir) =>
       t(s, dir, "documents").groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))),
 
+    // A4 row-normalized confusion (plot_utils.py:17-21 semantics)
+    "q_confusion_norm" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+      counts.withColumn("rate", col("cnt").cast("double") / sum(col("cnt")).over(w))
+    }),
+
     // A5 micro P/R/F1 excluding one label (sklearn micro semantics)
     "q_micro_prf" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -300,6 +308,13 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    // winnowing (rolling-hash) fingerprint clusters: docs sharing substrings
+    "q_winnow_clusters" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(s, t(s, dir, "documents").filter(col("doc_id") < 200))
+        .groupBy(col("fingerprint"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .groupBy(col("n_docs")).agg(count(lit(1)).as("n_fingerprints"))),
 
     // ---- multimodal plumbing -------------------------------------------------------
     "q_media_meta" -> ((s, dir) =>
@@ -370,6 +385,12 @@ object SparkEntry {
 
     "q_confusion" ->
       "SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source",
+
+    "q_confusion_norm" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source)
+         SELECT lang, source, cnt,
+           CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY lang) AS rate
+         FROM c""",
 
     "q_micro_prf" ->
       """WITH e AS (SELECT event_type AS targ,

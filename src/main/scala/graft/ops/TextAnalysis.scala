@@ -72,4 +72,51 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")).as("fingerprint"))
+
+  /** Winnowing document fingerprints (rolling hash): Rabin-Karp hashes of
+    * character k-grams, keeping the minimum of each w-hash window with the
+    * rightmost-min tie-break — the standard local-fingerprinting scheme
+    * (Schleimer/Wilkerson/Aiken). Pure function; guaranteeing that any
+    * shared substring of length ≥ w+k−1 yields a shared fingerprint. */
+  def winnow(text: String, k: Int = 8, w: Int = 6): Seq[Long] = {
+    val n = text.length
+    if (n < k) return Seq.empty
+    val B = 1000000007L
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow = pow * B; i += 1 } // overflow-wrapping is fine: consistent
+    val hashes = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    hashes(0) = h
+    i = k
+    while (i < n) {
+      h = (h - text.charAt(i - k) * pow) * B + text.charAt(i)
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    if (hashes.length <= w) return Seq(hashes.min)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var start = 0
+    while (start + w <= hashes.length) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+      out += hashes(minIdx)
+      start += 1
+    }
+    out.toSeq
+  }
+
+  /** Winnowing fingerprints as a table: one row per (doc_id, fingerprint).
+    * Shared fingerprints across docs = shared substrings (plagiarism/
+    * boilerplate detection); groupBy(fingerprint) finds the clusters. */
+  def winnowFingerprints(spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, k: Int = 8, w: Int = 6): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => winnow(text, k, w).map(id -> _) }
+      .toDF("doc_id", "fingerprint")
+  }
 }

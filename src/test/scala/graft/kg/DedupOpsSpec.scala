@@ -59,6 +59,20 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => (p._1, p._2) == ((1L, 4L))))
   }
 
+  test("winnowing fingerprints: shared substrings yield shared fingerprints") {
+    import graft.ops.TextAnalysis.winnow
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "yesterday the quick brown fox jumps over the lazy dog went home early"
+    val c = "completely unrelated content with no overlap whatsoever in this doc"
+    assert(winnow(a) === winnow(a)) // deterministic
+    val shared = winnow(a).toSet intersect winnow(b).toSet
+    assert(shared.nonEmpty, "long shared substring must produce shared fingerprints")
+    assert((winnow(a).toSet intersect winnow(c).toSet).isEmpty)
+    // guarantee: any match of length >= w + k - 1 is caught
+    assert(winnow("x" * 5) === Seq.empty) // below k
+    assert(winnow("abcdefghij", k = 8, w = 6).nonEmpty)
+  }
+
   test("linkBroadcast plans a BroadcastHashJoin; linkSalted plans a shuffle join") {
     val pages = Pipeline.generatePages(spark, 30)
     val bundle = spark.sparkContext.broadcast(Pipeline.buildBundle())

@@ -24,8 +24,11 @@ object Adaptors {
     s.nonEmpty && s.forall(c => c >= '0' && c <= '9')
 
   def asciiLower(s: String): String = {
-    val a = s.toCharArray
     var i = 0
+    val n = s.length
+    while (i < n && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == n) return s // fast path: nothing to lower, no allocation
+    val a = s.toCharArray
     while (i < a.length) { val c = a(i); if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar; i += 1 }
     new String(a)
   }

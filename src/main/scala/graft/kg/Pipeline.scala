@@ -82,17 +82,20 @@ object Pipeline {
       .mapPartitions { it =>
         val b = bundleBc.value
         val scorer = new Scorer(b.weights, b.typechecker)
+        val gazIndex = new Segment.GazetteerIndex(b.gazetteer) // once per task
         val noRelId = b.rel("no_relation")
         it.flatMap { case (url, html) =>
           val text = TextExtract.extract(html) // north-rule extraction stage
           Segment.sentences(text).zipWithIndex.flatMap { case (sent, sentIdx) =>
             val tokens = Segment.tokenize(sent)
-            val mentions = Segment.detectMentions(tokens, b.gazetteer, b.gazMaxLen)
+            // one lowercase pass serves both mention matching and scoring
+            val lower = tokens.map(Adaptors.asciiLower)
+            val mentions = Segment.detectMentionsIndexed(lower, gazIndex)
             if (mentions.isEmpty) Nil
             else {
-              // hoisted per-sentence work: P3/P4 adaptor normalization and
-              // word-id lookup happen once, not once per candidate pair
-              val words = Adaptors.zeroDigits(tokens.map(Adaptors.asciiLower)).toIndexedSeq
+              // hoisted per-sentence work: P3 digit zeroing and word-id
+              // lookup happen once, not once per candidate pair
+              val words = Adaptors.zeroDigits(lower).toIndexedSeq
               val wordIds = words.map(b.word(_))
               Segment.candidatePairs(mentions).flatMap { case (s, o) =>
                 try {

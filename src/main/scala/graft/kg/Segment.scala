@@ -12,47 +12,111 @@ package graft.kg
  */
 object Segment {
 
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Deterministic sentence segmentation: break on newline, and after
-    * [.!?] when followed by whitespace. */
-  def sentences(text: String): Seq[String] =
-    text.split("\n").toSeq
-      .flatMap(_.split("(?<=[.!?])\\s+").toSeq)
-      .map(_.trim)
-      .filter(_.nonEmpty)
+    * [.!?] when followed by whitespace. Hand-rolled scanner (the kernel's
+    * hot path is allocation-bound — no regex, no intermediate arrays);
+    * semantics identical to split("\n") + split("(?<=[.!?])\\s+") + trim. */
+  def sentences(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var start = 0
+    var i = 0
+    def emit(end: Int): Unit = {
+      var a = start
+      var b = end
+      while (a < b && isWs(text.charAt(a))) a += 1
+      while (b > a && isWs(text.charAt(b - 1))) b -= 1
+      if (b > a) out += text.substring(a, b)
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\n') { emit(i); start = i + 1; i += 1 }
+      else if ((c == '.' || c == '!' || c == '?') && i + 1 < n && isWs(text.charAt(i + 1))
+               && text.charAt(i + 1) != '\n') {
+        emit(i + 1)
+        i += 2
+        while (i < n && isWs(text.charAt(i)) && text.charAt(i) != '\n') i += 1
+        start = i
+      } else i += 1
+    }
+    emit(n)
+    out.toSeq
+  }
 
   /** Whitespace tokenization with terminal-punctuation splitting:
-    * "dinner." → ["dinner", "."]. Deterministic, no locale. */
-  def tokenize(sentence: String): Seq[String] =
-    sentence.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { tok =>
-      if (tok.length > 1 && ".,!?;:".indexOf(tok.last) >= 0)
-        Seq(tok.dropRight(1), tok.takeRight(1))
-      else Seq(tok)
-    }
-
-  /** Greedy longest-match gazetteer scan over lowercased tokens.
-    * @param gazetteer joined-lowercase-surface → NER type
-    * @param maxLen longest surface length in tokens */
-  def detectMentions(tokens: Seq[String], gazetteer: Map[String, String], maxLen: Int): Seq[Mention] = {
-    val lower = tokens.map(Adaptors.asciiLower).toIndexedSeq
-    val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+    * "dinner." → ["dinner", "."]. Scanner-based; no regex. */
+  def tokenize(sentence: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = sentence.length
     var i = 0
-    while (i < lower.length) {
-      var matched = false
-      var len = math.min(maxLen, lower.length - i)
-      while (len >= 1 && !matched) {
-        val surface = lower.slice(i, i + len).mkString(" ")
-        gazetteer.get(surface) match {
-          case Some(ner) =>
-            out += Mention(i, i + len, surface, ner)
-            i += len
-            matched = true
-          case None => len -= 1
-        }
+    while (i < n) {
+      while (i < n && isWs(sentence.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(sentence.charAt(i))) i += 1
+      if (i > start) {
+        val last = sentence.charAt(i - 1)
+        if (i - start > 1 && ".,!?;:".indexOf(last) >= 0) {
+          out += sentence.substring(start, i - 1)
+          out += sentence.substring(i - 1, i)
+        } else out += sentence.substring(start, i)
       }
-      if (!matched) i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Gazetteer pre-indexed by first token — the per-position scan compares
+    * token arrays instead of building joined strings (the naive joined-key
+    * lookup was the pipeline's top allocation site). */
+  final class GazetteerIndex(gazetteer: Map[String, String]) extends Serializable {
+    /** first token → candidate (surface tokens, ner, joined surface),
+      * longest first (greedy longest-match order). */
+    val byFirst: Map[String, Array[(Array[String], String, String)]] =
+      gazetteer.toSeq
+        .map { case (surface, ner) => (surface.split(" "), ner, surface) }
+        .groupBy(_._1(0))
+        .map { case (first, cands) =>
+          first -> cands.sortBy { case (toks, _, surface) => (-toks.length, surface) }.toArray
+        }
+    val maxLen: Int = if (gazetteer.isEmpty) 0 else gazetteer.keys.map(_.count(_ == ' ') + 1).max
+  }
+
+  /** Greedy longest-match gazetteer scan over ALREADY-lowercased tokens. */
+  def detectMentionsIndexed(lower: IndexedSeq[String], index: GazetteerIndex): Seq[Mention] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+    val n = lower.length
+    var i = 0
+    while (i < n) {
+      var advanced = false
+      index.byFirst.get(lower(i)) match {
+        case Some(cands) =>
+          var c = 0
+          while (c < cands.length && !advanced) {
+            val (toks, ner, surface) = cands(c)
+            if (i + toks.length <= n) {
+              var j = 1 // token 0 matched via the index key
+              while (j < toks.length && toks(j) == lower(i + j)) j += 1
+              if (j == toks.length) {
+                out += Mention(i, i + toks.length, surface, ner)
+                i += toks.length
+                advanced = true
+              }
+            }
+            c += 1
+          }
+        case None =>
+      }
+      if (!advanced) i += 1
     }
     out.toSeq
   }
+
+  /** Back-compat surface-keyed scan (tests, docs): lowercases then uses the
+    * indexed matcher — same greedy longest-match semantics. */
+  def detectMentions(tokens: Seq[String], gazetteer: Map[String, String], maxLen: Int): Seq[Mention] =
+    detectMentionsIndexed(tokens.map(Adaptors.asciiLower).toIndexedSeq, new GazetteerIndex(gazetteer))
 
   /** NER types allowed as KBP slot-filling subjects. */
   val subjectNers: Set[String] = Set("PERSON", "ORGANIZATION")

@@ -26,7 +26,7 @@ object Pipeline {
   /** Everything the scoring kernel needs, broadcast once per job. */
   final case class ScoringBundle(
       word: VocabView, ner: VocabView, rel: VocabView,
-      gazetteer: Map[String, String], gazMaxLen: Int,
+      gazetteer: Map[String, String],
       weights: ScorerWeights, typechecker: TypeChecker, scope: Int) extends Serializable {
     /** Frozen lookup vocabs rebuilt from the broadcast views (for code
       * paths that need the reference's Vocab API, e.g. featurizers). */
@@ -47,9 +47,8 @@ object Pipeline {
     val word = vocabs.word.view
     val weights = ScorerWeights.fixture(
       vocabSize = word.size, relSize = vocabs.rel.size, seed = seed)
-    val gaz = Gen.gazetteer
     ScoringBundle(word, vocabs.ner.view, vocabs.rel.view,
-      gaz, gaz.keys.map(_.count(_ == ' ') + 1).max, weights, typechecker, scope)
+      Gen.gazetteer, weights, typechecker, scope)
   }
 
   /** Synthetic pages corpus, generated fully distributed (no driver data).

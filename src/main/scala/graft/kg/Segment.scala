@@ -113,9 +113,10 @@ object Segment {
     out.toSeq
   }
 
-  /** Back-compat surface-keyed scan (tests, docs): lowercases then uses the
-    * indexed matcher — same greedy longest-match semantics. */
-  def detectMentions(tokens: Seq[String], gazetteer: Map[String, String], maxLen: Int): Seq[Mention] =
+  /** Surface-keyed convenience scan: lowercases then uses the indexed
+    * matcher — same greedy longest-match semantics. Build the
+    * [[GazetteerIndex]] once per task in hot paths. */
+  def detectMentions(tokens: Seq[String], gazetteer: Map[String, String]): Seq[Mention] =
     detectMentionsIndexed(tokens.map(Adaptors.asciiLower).toIndexedSeq, new GazetteerIndex(gazetteer))
 
   /** NER types allowed as KBP slot-filling subjects. */

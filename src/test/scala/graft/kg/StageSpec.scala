@@ -215,6 +215,25 @@ class StageSpec extends AnyFunSuite {
     assert(scored.map(_.id).sorted.toSeq === again.map(_.id).sorted.toSeq)
   }
 
+  test("segmentation + mention detection + example assembly (pure API)") {
+    val text = "James Smith works for Acme Corporation . The end arrived !"
+    val sents = Segment.sentences(text)
+    assert(sents === Seq("James Smith works for Acme Corporation .", "The end arrived !"))
+    val toks = Segment.tokenize(sents.head)
+    assert(toks === Seq("James", "Smith", "works", "for", "Acme", "Corporation", "."))
+    assert(Segment.tokenize("a,b. done.") === Seq("a,b", ".", "done", "."))
+    val gaz = Map("james smith" -> "PERSON", "acme corporation" -> "ORGANIZATION",
+      "acme" -> "ORGANIZATION")
+    val ms = Segment.detectMentions(toks, gaz)
+    // greedy longest match: 'acme corporation' wins over 'acme'
+    assert(ms === Seq(Mention(0, 2, "james smith", "PERSON"),
+      Mention(4, 6, "acme corporation", "ORGANIZATION")))
+    val ex = Segment.toExample(toks, ms(0), ms(1))
+    assert(ex.subject === "james smith")
+    assert(ex.objectVal === "acme corporation")
+    assert(ex.ner === Seq("PERSON", "PERSON", "O", "O", "ORGANIZATION", "ORGANIZATION", "O"))
+  }
+
   test("labeled example generator: spans, chain parse, determinism") {
     val ex = Gen.labeledExample(42L, 7L)
     assert(ex === Gen.labeledExample(42L, 7L))

@@ -40,6 +40,20 @@ object SparkEntry {
       graft.kg.Evaluate.run(s, examples, bundleBc).perRelation
     }),
 
+    // train.py lifecycle: distributed readout training (treeAggregate
+    // full-batch gradients), dev metrics per epoch, reference model
+    // selection (best dev precision gated on f1 > 0.3)
+    "kg_train_readout" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val trainFeat = graft.kg.Trainer.extractFeatures(s,
+        s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val devFeat = graft.kg.Trainer.extractFeatures(s,
+        s.range(400, 520).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val result = graft.kg.Trainer.train(s, trainFeat, devFeat, bundleBc, epochs = 8)
+      result.log.toDF()
+    }),
+
     // M1 model-zoo dispatch: every model shape × both cell types scores the
     // same labeled split (sent channel for single*, 4-channel for concat)
     "kg_model_zoo" -> ((s, _) => {

@@ -189,6 +189,43 @@ final class Scorer(weights: ScorerWeights, typechecker: TypeChecker) extends Ser
     out
   }
 
+  /** Final hidden state (post test-time dropout scaling) — the feature
+    * vector the dense readout consumes; used by the distributed readout
+    * trainer (Trainer.scala). */
+  def hiddenState(sequence: Array[Int]): Array[Float] = {
+    val buf = scratch.get()
+    val h = buf(0); val c = buf(1)
+    val gi = buf(3); val gf = buf(4); val gc = buf(5); val go = buf(6)
+    java.util.Arrays.fill(h, 0f); java.util.Arrays.fill(c, 0f)
+    val gates = inputGates
+    var t = 0
+    while (t < sequence.length) {
+      val pre = gates(sequence(t))
+      var j = 0
+      while (j < hidden) {
+        gi(j) = bI(j) + pre(j)
+        gf(j) = bF(j) + pre(hidden + j)
+        gc(j) = bC(j) + pre(2 * hidden + j)
+        go(j) = bO(j) + pre(3 * hidden + j)
+        j += 1
+      }
+      addMatVec(uI, h, gi, hidden); addMatVec(uF, h, gf, hidden)
+      addMatVec(uC, h, gc, hidden); addMatVec(uO, h, go, hidden)
+      j = 0
+      while (j < hidden) {
+        val i_ = hardSigmoid(gi(j)); val f_ = hardSigmoid(gf(j)); val o_ = hardSigmoid(go(j))
+        c(j) = f_ * c(j) + i_ * math.tanh(gc(j)).toFloat
+        h(j) = o_ * math.tanh(c(j)).toFloat
+        j += 1
+      }
+      t += 1
+    }
+    val out = new Array[Float](hidden)
+    var j = 0
+    while (j < hidden) { out(j) = h(j) * retain; j += 1 }
+    out
+  }
+
   /** Masked argmax + softmax confidence for one example (M2+M3). */
   def predict(sequence: Array[Int], subjectNer: Int, objectNer: Int): (Int, Double) = {
     val p = logits(sequence)

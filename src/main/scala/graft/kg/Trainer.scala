@@ -1,0 +1,202 @@
+package graft.kg
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+
+/**
+ * Distributed readout trainer — the Spark rebuild of the train.py lifecycle
+ * (reference: train.py:78-105): epoch loop, per-epoch train metrics, dev
+ * evaluation, JSONL metric log (:93), and the reference's exact
+ * model-selection rule — best dev PRECISION gated on dev F1 > 0.3
+ * (:95-97), with the best weights restored at the end (:99-103).
+ *
+ * Scope: the recurrent encoder is frozen (the reference ships no trained
+ * weights; our frozen fixture defines it) and the dense readout layer is
+ * trained — full-batch gradient descent where each epoch's gradient is a
+ * `treeAggregate` over the distributed feature set. This is the
+ * scale-correct shape for cluster training of a readout: features are
+ * extracted once (the expensive forward pass, fully parallel), cached
+ * columnar, and each epoch moves only `(H+1)·R` floats driver↔executors.
+ *
+ * Loss is the reference's filtered cross-entropy (data/typecheck.py:28-39):
+ * softmax over typecheck-MASKED logits, clipped to [1e-7, 1-1e-7],
+ * renormalized, then -log p[target].
+ */
+object Trainer {
+
+  /** One featurized training row: target relation id, NER pair, frozen
+    * encoder features. */
+  final case class FeatureRow(label: Int, subjectNer: Int, objectNer: Int, h: Array[Float])
+
+  final case class EpochMetrics(epoch: Int, trainLoss: Double, devPrecision: Double,
+      devRecall: Double, devF1: Double, devAccuracy: Double)
+
+  final case class TrainResult(
+      dense: Array[Array[Float]], denseB: Array[Float],
+      log: Seq[EpochMetrics], bestEpoch: Int)
+
+  /** Frozen-encoder feature extraction (sent model): one narrow pass. */
+  def extractFeatures(spark: SparkSession, examples: Dataset[SentenceExample],
+      bundleBc: Broadcast[Pipeline.ScoringBundle]): Dataset[FeatureRow] = {
+    import spark.implicits._
+    examples.mapPartitions { it =>
+      val b = bundleBc.value
+      val scorer = new Scorer(b.weights, b.typechecker)
+      it.flatMap { ex =>
+        try {
+          val (seq, sNer, oNer) = Pipeline.featurizeSent(ex, b)
+          ex.relation.filter(_.nonEmpty).flatMap(r =>
+            if (b.rel.contains(r)) Some(FeatureRow(b.rel(r), sNer, oNer, scorer.hiddenState(seq)))
+            else None)
+        } catch { case _: NoPathException | _: NoSuchElementException => None }
+      }
+    }
+  }
+
+  /** Masked, clipped, renormalized softmax (typecheck.py:28-39). */
+  private def filteredSoftmax(logits: Array[Double], mask: Array[Float]): Array[Double] = {
+    val n = logits.length
+    val masked = new Array[Double](n)
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) { masked(i) = logits(i) * mask(i); if (masked(i) > mx) mx = masked(i); i += 1 }
+    var s = 0.0
+    i = 0
+    while (i < n) { masked(i) = math.exp(masked(i) - mx); s += masked(i); i += 1 }
+    var s2 = 0.0
+    i = 0
+    while (i < n) {
+      masked(i) = math.max(1e-7, math.min(1.0 - 1e-7, masked(i) / s))
+      s2 += masked(i); i += 1
+    }
+    i = 0
+    while (i < n) { masked(i) /= s2; i += 1 }
+    masked
+  }
+
+  /**
+   * Train the readout. Each epoch: gradient + loss via treeAggregate over
+   * the cached features; driver applies the step; dev metrics via the
+   * masked-argmax predictor; JSONL log appended when `logPath` is set.
+   */
+  def train(spark: SparkSession, trainFeat: Dataset[FeatureRow], devFeat: Dataset[FeatureRow],
+      bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 15, lr: Double = 0.5,
+      logPath: Option[String] = None): TrainResult = {
+    val b = bundleBc.value
+    val hDim = b.weights.hidden
+    val rDim = b.rel.size
+    val noRel = b.rel("no_relation")
+    val tc = b.typechecker
+
+    val train = trainFeat.cache()
+    val dev = devFeat.cache()
+    val nTrain = train.count().toDouble
+    require(nTrain > 0, "empty training split")
+
+    // start from the fixture readout (the 'loaded artifact' contract, S9)
+    var w = b.weights.dense.map(_.clone())
+    var bias = b.weights.denseB.clone()
+
+    def logitsOf(row: FeatureRow, wB: Array[Array[Float]], bB: Array[Float]): Array[Double] = {
+      val out = new Array[Double](rDim)
+      var r = 0
+      while (r < rDim) { out(r) = bB(r); r += 1 }
+      var j = 0
+      while (j < hDim) {
+        val hj = row.h(j)
+        if (hj != 0f) {
+          val rowW = wB(j)
+          r = 0
+          while (r < rDim) { out(r) += hj * rowW(r); r += 1 }
+        }
+        j += 1
+      }
+      out
+    }
+
+    def devMetrics(wB: Array[Array[Float]], bB: Array[Float]): (Double, Double, Double, Double) = {
+      val bc = dev.sparkSession.sparkContext.broadcast((wB, bB))
+      val (tp, predPos, targPos, correct, total) = dev.rdd.treeAggregate((0L, 0L, 0L, 0L, 0L))(
+        seqOp = { case ((tp0, pp0, gp0, c0, n0), row) =>
+          val (wX, bX) = bc.value
+          val logits = logitsOf(row, wX, bX)
+          val mask = tc.maskRow(row.subjectNer, row.objectNer)
+          var best = 0
+          var mx = logits(0) * mask(0)
+          var r = 1
+          while (r < rDim) { val v = logits(r) * mask(r); if (v > mx) { mx = v; best = r }; r += 1 }
+          (tp0 + (if (best == row.label && row.label != noRel) 1L else 0L),
+           pp0 + (if (best != noRel) 1L else 0L),
+           gp0 + (if (row.label != noRel) 1L else 0L),
+           c0 + (if (best == row.label) 1L else 0L),
+           n0 + 1L)
+        },
+        combOp = { case ((a1, a2, a3, a4, a5), (b1, b2, b3, b4, b5)) =>
+          (a1 + b1, a2 + b2, a3 + b3, a4 + b4, a5 + b5) })
+      bc.destroy()
+      val p = if (predPos == 0) 0.0 else tp.toDouble / predPos
+      val rc = if (targPos == 0) 0.0 else tp.toDouble / targPos
+      val f1 = if (p + rc == 0) 0.0 else 2 * p * rc / (p + rc)
+      val acc = if (total == 0) 0.0 else correct.toDouble / total
+      (p, rc, f1, acc)
+    }
+
+    val log = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
+    var best: Option[(Int, Double, Array[Array[Float]], Array[Float])] = None
+
+    for (epoch <- 1 to epochs) {
+      val bc = spark.sparkContext.broadcast((w, bias))
+      // gradient of filtered CE wrt dense weights: dW = h ⊗ (p*mask' - y), db = p - y
+      val zero = (Array.ofDim[Double](hDim * rDim), Array.ofDim[Double](rDim), 0.0)
+      val (gw, gb, loss) = train.rdd.treeAggregate(zero)(
+        seqOp = { case ((gw0, gb0, l0), row) =>
+          val (wX, bX) = bc.value
+          val logits = logitsOf(row, wX, bX)
+          val mask = tc.maskRow(row.subjectNer, row.objectNer)
+          val p = filteredSoftmax(logits, mask)
+          var r = 0
+          while (r < rDim) {
+            // d(loss)/d(logit_r) through the mask: (p_r - y_r) * mask_r
+            val g = (p(r) - (if (r == row.label) 1.0 else 0.0)) * mask(r)
+            gb0(r) += g
+            var j = 0
+            while (j < hDim) { gw0(j * rDim + r) += row.h(j) * g; j += 1 }
+            r += 1
+          }
+          (gw0, gb0, l0 - math.log(p(row.label)))
+        },
+        combOp = { case ((gw1, gb1, l1), (gw2, gb2, l2)) =>
+          var i = 0
+          while (i < gw1.length) { gw1(i) += gw2(i); i += 1 }
+          i = 0
+          while (i < gb1.length) { gb1(i) += gb2(i); i += 1 }
+          (gw1, gb1, l1 + l2) })
+      bc.destroy()
+      val nextW = Array.tabulate(hDim, rDim)((j, r) =>
+        (w(j)(r) - lr * gw(j * rDim + r) / nTrain).toFloat)
+      val nextB = Array.tabulate(rDim)(r => (bias(r) - lr * gb(r) / nTrain).toFloat)
+      w = nextW; bias = nextB
+      val (p, rc, f1, acc) = devMetrics(w, bias)
+      val m = EpochMetrics(epoch, loss / nTrain, p, rc, f1, acc)
+      log += m
+      // reference model selection: best dev precision, gated on f1 > 0.3
+      if (m.devF1 > 0.3 && best.forall(_._2 < m.devPrecision))
+        best = Some((epoch, m.devPrecision, w.map(_.clone()), bias.clone()))
+    }
+
+    logPath.foreach { path =>
+      val lines = log.map(m =>
+        s"""{"epoch":${m.epoch},"train_loss":${m.trainLoss},"dev_precision":${m.devPrecision},"dev_recall":${m.devRecall},"dev_f1":${m.devF1},"dev_accuracy":${m.devAccuracy}}""")
+      val pp = java.nio.file.Paths.get(path)
+      if (pp.getParent != null) java.nio.file.Files.createDirectories(pp.getParent)
+      java.nio.file.Files.write(pp, lines.mkString("\n").getBytes("UTF-8"))
+    }
+
+    train.unpersist(); dev.unpersist()
+    // restore best weights (train.py:99-103); fall back to final epoch
+    best match {
+      case Some((e, _, bw, bb)) => TrainResult(bw, bb, log.toSeq, e)
+      case None => TrainResult(w, bias, log.toSeq, epochs)
+    }
+  }
+}

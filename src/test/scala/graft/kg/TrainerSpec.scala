@@ -1,0 +1,60 @@
+package graft.kg
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Distributed readout training — the train.py lifecycle (§3.2). */
+class TrainerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val bundleBc = spark.sparkContext.broadcast(Pipeline.buildBundle())
+
+  test("training reduces loss and improves dev metrics over the frozen init") {
+    val trainEx = spark.range(600).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(600, 800).map(i => Gen.labeledExample(42L, i))
+    val trainFeat = Trainer.extractFeatures(spark, trainEx, bundleBc)
+    val devFeat = Trainer.extractFeatures(spark, devEx, bundleBc)
+    val dir = Files.createTempDirectory("graft-train")
+    val result = Trainer.train(spark, trainFeat, devFeat, bundleBc,
+      epochs = 12, lr = 0.5, logPath = Some(s"$dir/train_log.jsonl"))
+    val log = result.log
+    assert(log.length === 12)
+    // loss strictly improves early and substantially overall
+    assert(log.last.trainLoss < log.head.trainLoss * 0.9,
+      s"loss must drop: ${log.head.trainLoss} -> ${log.last.trainLoss}")
+    // the planted relations are linearly recoverable from frozen features:
+    // dev accuracy must beat both the untrained readout and chance
+    assert(log.last.devAccuracy > 0.5, s"dev accuracy ${log.last.devAccuracy}")
+    assert(log.last.devF1 > 0.3, s"dev f1 ${log.last.devF1}")
+    // model selection: best epoch maximizes dev precision among f1>0.3 epochs
+    val gated = log.filter(_.devF1 > 0.3)
+    assert(gated.nonEmpty)
+    val expectedBest = gated.maxBy(_.devPrecision)
+    assert(result.bestEpoch === expectedBest.epoch)
+    // K2: JSONL log written, one line per epoch
+    val lines = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/train_log.jsonl")),
+      "UTF-8").split("\n")
+    assert(lines.length === 12)
+    assert(lines.head.contains("\"epoch\":1"))
+    Lineage.deleteRecursively(dir.toString)
+  }
+
+  test("training is deterministic (same data, same epochs → same weights)") {
+    val trainEx = spark.range(200).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(200, 260).map(i => Gen.labeledExample(42L, i))
+    val tf = Trainer.extractFeatures(spark, trainEx, bundleBc)
+    val df = Trainer.extractFeatures(spark, devEx, bundleBc)
+    val r1 = Trainer.train(spark, tf, df, bundleBc, epochs = 3)
+    val r2 = Trainer.train(spark, tf, df, bundleBc, epochs = 3)
+    // float weights absorb the last-ulp double-sum reordering of
+    // treeAggregate; losses compared with tolerance for the same reason
+    assert(r1.denseB.toSeq === r2.denseB.toSeq)
+    assert(r1.dense.map(_.toSeq).toSeq === r2.dense.map(_.toSeq).toSeq)
+    r1.log.zip(r2.log).foreach { case (a, b) =>
+      assert(math.abs(a.trainLoss - b.trainLoss) < 1e-9)
+      assert(a.copy(trainLoss = 0) === b.copy(trainLoss = 0))
+    }
+  }
+}

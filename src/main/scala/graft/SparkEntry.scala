@@ -532,17 +532,17 @@ object SparkEntry {
     "q_minhash_sig" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          ix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i FROM d),
-         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM ix)
+         sh AS (SELECT doc_id, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS mh FROM ix)
          SELECT doc_id,
-           MIN(md5('1' || shingle)) AS h1, MIN(md5('2' || shingle)) AS h2,
-           MIN(md5('3' || shingle)) AS h3, MIN(md5('4' || shingle)) AS h4
+           MIN(substr(mh, 1, 8)) AS h1, MIN(substr(mh, 9, 8)) AS h2,
+           MIN(substr(mh, 17, 8)) AS h3, MIN(substr(mh, 25, 8)) AS h4
          FROM sh GROUP BY doc_id""",
 
     "q_lsh_pairs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          ix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i FROM d),
-         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM ix),
-         sig AS (SELECT doc_id, MIN(md5('1' || shingle)) AS h1, MIN(md5('2' || shingle)) AS h2
+         sh AS (SELECT doc_id, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS mh FROM ix),
+         sig AS (SELECT doc_id, MIN(substr(mh, 1, 8)) AS h1, MIN(substr(mh, 9, 8)) AS h2
                  FROM sh GROUP BY doc_id)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id""",

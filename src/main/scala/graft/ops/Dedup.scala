@@ -42,15 +42,20 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature over the 3-token shingle set, k permutation-free
-    * hashes: h_i(doc) = min over shingles of md5(i || shingle).
+  /** MinHash signature over the 3-token shingle set, k ≤ 4 permutation-free
+    * hashes: ONE md5 per shingle, with h_i = the i-th disjoint 8-hex-char
+    * slice (independent 32-bit hashes — fine at these doc counts; at true
+    * web scale widen to two 64-bit slices of xxhash64 pairs).
     * NO distinct before the groupBy: min over the shingle MULTISET equals
     * min over the set, so deduplicating first would only add a full
     * shuffle — the partial min aggregates map-side instead. */
   def minhashSignatures(documents: DataFrame, k: Int = 4): DataFrame = {
-    val sigs = (1 to k).map(i => min(md5(concat(lit(i.toString), col("shingle")))).as(s"h$i"))
+    require(k <= 4, "md5 yields four 8-hex-char slices")
+    val sigs = (1 to k).map(i =>
+      min(substring(col("mh"), 1 + 8 * (i - 1), 8)).as(s"h$i"))
     documents
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("mh"))
       .groupBy(col("doc_id"))
       .agg(sigs.head, sigs.tail: _*)
   }

@@ -13,7 +13,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "40000").toLong
+    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "200000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -91,9 +91,11 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val pages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "200000").toLong
-    val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "8").toInt
-    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "32").toInt
+    val pages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "800000").toLong
+    // default pair 4→16: the CPU-bound regime on this 32-vCPU box (8→32
+    // saturates shared DRAM bandwidth — see BASELINE.md)
+    val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "4").toInt
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "16").toInt
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     // alternate levels across repeated trials and take the per-level MIN —
     // robust to the sandbox's bursty background load; min wall-clock is the

@@ -32,6 +32,15 @@ object SparkEntry {
     "kg_salted_link" -> ((s, _) =>
       Pipeline.extractTriples(s, Pipeline.generatePages(s, 120L), salted = true)),
 
+    // A7 native form: error rate by featurized-sequence length on the eval split
+    "kg_error_by_length" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
+      graft.kg.Evaluate.errorByLength(
+        graft.kg.Evaluate.scoreExamples(s, examples, bundleBc).toDF())
+    }),
+
     // pred.py-style evaluation: per-relation P/R report over a labeled split
     "kg_eval_report" -> ((s, _) => {
       import s.implicits._

@@ -21,7 +21,7 @@ object Evaluate {
   final case class ScoredExample(
       id: Long, pred: String, targ: String,
       subjectId: String, objectId: String, confidence: Double,
-      words: Seq[String])
+      words: Seq[String], length: Int)
 
   /** Score a labeled split with the frozen bundle (sent model, kbp.py path:
     * featurize add=false, ignore-failures, mask, argmax, softmax conf). */
@@ -42,7 +42,7 @@ object Evaluate {
             b.rel.index2word(relId),
             ex.relation.getOrElse(""),
             ex.subjectId.getOrElse(ex.subject), ex.objectId.getOrElse(ex.objectVal),
-            conf, ex.words))
+            conf, ex.words, seq.length))
         } catch {
           case _: NoPathException | _: NoSuchElementException => errors.add(1); None
         }
@@ -66,7 +66,8 @@ object Evaluate {
           val feat = featurizer.featurize(ex, add = false)
           val (relId, conf) = scorer.predict(feat.sequence.toArray, feat.subjectNer, feat.objectNer)
           Some(ScoredExample(FeaturizeStage.stableId(ex), b.rel.index2word(relId),
-            ex.relation.getOrElse(""), feat.subjectId, feat.objectId, conf, ex.words))
+            ex.relation.getOrElse(""), feat.subjectId, feat.objectId, conf, ex.words,
+            feat.length))
         } catch {
           case _: NoPathException | _: NoSuchElementException | _: IllegalArgumentException => None
         }
@@ -116,6 +117,14 @@ object Evaluate {
     results.reduce(_.unionByName(_))
       .select(col("model"), col("rnn"), col("scored"), col("positive"), col("avg_conf"))
   }
+
+  /** A7 in its native form (reference: analyze_errors.py:44-58): count,
+    * error count and error rate per featurized-sequence length. */
+  def errorByLength(scored: DataFrame): DataFrame =
+    scored.groupBy(col("length"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("pred") =!= col("targ"), 1L).otherwise(0L)).as("errors"))
+      .withColumn("error_rate", col("errors").cast("double") / col("cnt"))
 
   final case class Report(
       micro: Metrics.PRF,

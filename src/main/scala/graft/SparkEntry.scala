@@ -100,25 +100,26 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
-    // A1 vocab build: token -> count, first-seen doc, insertion-ordered id
+    // A1 vocab build: token -> count, first-seen doc, insertion-ordered id.
+    // The id rank is the two-phase DISTRIBUTED row_number (Rank.scala) —
+    // a global Window.orderBy would drag every distinct token of the corpus
+    // through one partition (billions of rows at web scale).
     "q_vocab_build" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      tok.groupBy(col("token"))
+      val agg = tok.groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
-        .withColumn("token_id",
-          row_number().over(Window.orderBy(col("first_doc"), col("token"))).cast("long"))
+      graft.ops.Rank.globalRowNumber(agg, Seq(col("first_doc"), col("token")), "token_id")
     }),
 
     // A2 rare-word pruning: cnt > 2, ids re-ranked in original order
     "q_vocab_prune" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      tok.groupBy(col("token"))
+      val agg = tok.groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
         .filter(col("cnt") > 2)
-        .withColumn("token_id",
-          row_number().over(Window.orderBy(col("first_doc"), col("token"))).cast("long"))
+      graft.ops.Rank.globalRowNumber(agg, Seq(col("first_doc"), col("token")), "token_id")
     }),
 
     // A3 label histogram
@@ -325,6 +326,12 @@ object SparkEntry {
     "q_nn_join" -> ((s, dir) => Similarity.nearestNeighborJoin(t(s, dir, "embeddings"), 100)),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 150, 0.3)),
+    // the 100 TB forms: banded sign-LSH pair generation + batch kNN over the
+    // FULL table (no id cap) — no cross join anywhere in the plan
+    "q_ann_pairs" -> ((s, dir) =>
+      Similarity.annCandidatePairs(t(s, dir, "embeddings"), 0.3)),
+    "q_ann_knn" -> ((s, dir) =>
+      Similarity.annTopKJoin(t(s, dir, "embeddings"), k = 1, minCosine = 0.2)),
 
     // ---- text analysis -----------------------------------------------------------
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
@@ -360,11 +367,11 @@ object SparkEntry {
     "q_vocab_lookup_join" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val vocab = tok.groupBy(col("token"))
+      val agg = tok.groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
         .filter(col("cnt") > 30)
-        .withColumn("token_id",
-          row_number().over(Window.orderBy(col("first_doc"), col("token"))).cast("long"))
+      val vocab = graft.ops.Rank
+        .globalRowNumber(agg, Seq(col("first_doc"), col("token")), "token_id")
         .select(col("token"), col("token_id"))
       tok.join(vocab, Seq("token"), "left")
         .select(coalesce(col("token_id"), lit(0L)).as("id"))

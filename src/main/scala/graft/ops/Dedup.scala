@@ -105,22 +105,51 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: same 16-bit band in any of 4 bands →
-    * candidate; verified by Hamming distance <= maxHamming. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 12): DataFrame = {
+    * candidate; verified by Hamming distance <= maxHamming.
+    *
+    * Scale shape (same one-pass design as [[lshCandidatePairs]]): group by
+    * band key and expand pairs INSIDE each bucket — no self-join, exactly
+    * one shuffle keyed by band, bucket size capped at `maxBucket` (a
+    * boilerplate-heavy web corpus makes 16-bit-band mega-buckets explode
+    * quadratically otherwise). The Hamming filter runs BEFORE the
+    * cross-band pair dedup, so the `.distinct()` shuffle only ever moves
+    * true near-dup pairs, not the full banding blow-up. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 12,
+      maxBucket: Int = 10000): DataFrame = {
     val withSim = simhash(documents)
     val banded = withSim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16)
           .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+    banded.groupBy(col("band"), col("key"))
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
+        1, maxBucket).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        explode(filter(col("items"), x => x.getField("doc_id") > col("a.doc_id"))).as("b"))
+      .select(col("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** 64-bit MinHash — the web-scale variant of [[minhashSignatures]]
+    * (which slices one md5 into k 32-bit hashes: collision hygiene too
+    * thin at billions of documents). Here each of the k slots is an
+    * independent full-width xxhash64 (slot index mixed in as a column), so
+    * per-slot collisions are ~2^-64. Same scale shape: explode + min-agg
+    * with map-side partials, NO pre-distinct (min over the shingle
+    * multiset equals min over the set). The md5 form stays the DuckDB
+    * oracle default; this is the production path behind a separate entry
+    * point. */
+  def minhashSignatures64(documents: DataFrame, k: Int = 8): DataFrame = {
+    val sigs = (1 to k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    documents
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sigs.head, sigs.tail: _*)
   }
 
   /** N-gram (3-shingle-set) Jaccard similarity for candidate pairs within

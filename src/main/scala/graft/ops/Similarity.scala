@@ -77,10 +77,78 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Banded sign-LSH near-dup pair generation — the 100 TB form that
+   * replaces the all-pairs cross joins as the default batch operator.
+   *
+   * OR-amplified LSH: `bands` independent hash tables, each keyed by the
+   * sign pattern of `planesPerBand` hyperplanes. Two vectors at angle θ
+   * agree on one plane with p = 1 − θ/π, so a pair survives banding with
+   * 1 − (1 − p^b)^L — at the defaults (b=3, L=12) a cosine-0.3 pair is
+   * found with ~0.96 probability and higher-cosine pairs with ~1.
+   *
+   * Scale shape (the [[graft.ops.Dedup.lshCandidatePairs]] pattern):
+   * ONE shuffle keyed by (band, bucket); pairs expand only INSIDE buckets
+   * (never across the corpus — no self-join, no cross join); bucket size
+   * capped at `maxBucket`; the exact cosine filter runs in-bucket BEFORE
+   * the cross-band `.distinct()`, so the dedup shuffle moves only true
+   * near-dup pairs. Norms are precomputed once per vector on the narrow
+   * side, not once per pair.
+   */
+  def annCandidatePairs(embeddings: DataFrame, minCosine: Double = 0.3,
+      bands: Int = 12, planesPerBand: Int = 3, maxBucket: Int = 10000,
+      seed: Long = 7L): DataFrame = {
+    val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    val e = asDouble(embeddings)
+      .withColumn("norm", sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x)))
+    val bandStructs = (0 until bands).map { l =>
+      val planes = hyperplanes(planesPerBand, dim, seed + 31L * l)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        val dot = aggregate(zip_with(col("embedding"),
+          array(p.map(v => lit(v.toDouble)): _*), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(l).as("band"), bucket.as("key"))
+    }
+    val banded = e.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bk.band"), col("bk.key"))
+    val dot = aggregate(zip_with(col("a.embedding"), col("b.embedding"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    banded.groupBy(col("band"), col("key"))
+      .agg(slice(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("norm")))),
+        1, maxBucket).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"),
+        explode(filter(col("items"), x => x.getField("vec_id") > col("a.vec_id"))).as("b"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot / (col("a.norm") * col("b.norm")), 4).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+
+  /** Batch approximate kNN join over the banded-LSH candidate pairs: every
+    * vector's top-k neighbors among its LSH candidates above `minCosine`.
+    * The ranking window is PARTITIONED by vector id — parallel, never a
+    * global sort. This is the scale path for "nearest neighbor per row";
+    * [[nearestNeighborJoin]] stays as the exact bounded oracle. */
+  def annTopKJoin(embeddings: DataFrame, k: Int = 1, minCosine: Double = 0.2,
+      bands: Int = 12, planesPerBand: Int = 3, maxBucket: Int = 10000,
+      seed: Long = 7L): DataFrame = {
+    val pairs = annCandidatePairs(embeddings, minCosine, bands, planesPerBand, maxBucket, seed)
+    val sym = pairs.unionByName(pairs.select(
+      col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("id_a"), col("id_b"), col("cosine"), col("rn").cast("long").as("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
-    * threshold within a bounded id range (the exact, oracle-checkable form;
-    * at corpus scale the LSH-bucketed variant restricts candidates to
-    * same-bucket pairs first — compose [[withLshBucket]] + this predicate). */
+    * threshold within a bounded id range (the exact, oracle-checkable form
+    * kept as the recall oracle for [[annCandidatePairs]], which is the
+    * default at corpus scale). */
   def cosineNearDupPairs(embeddings: DataFrame, cap: Int = 150, minCosine: Double = 0.3): DataFrame = {
     val e = asDouble(embeddings).filter(col("vec_id") < cap)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))

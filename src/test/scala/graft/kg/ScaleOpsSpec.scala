@@ -1,0 +1,112 @@
+package graft.kg
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scale-path operators: the distributed global rank (replaces the
+  * single-partition Window), banded sign-LSH ANN pair generation (replaces
+  * the cross joins), capped simhash banding, and 64-bit minhash. */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("globalRowNumber equals the single-window row_number (same oracle)") {
+    val tok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val agg = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
+    val expected = agg.withColumn("token_id",
+      row_number().over(Window.orderBy(col("first_doc"), col("token"))).cast("long"))
+      .select("token", "token_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.ops.Rank
+      .globalRowNumber(agg, Seq(col("first_doc"), col("token")), "token_id")
+      .select("token", "token_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.values.toSeq.sorted === (1L to got.size).toSeq) // contiguous from 1
+  }
+
+  test("globalRowNumber plan contains no single-partition exchange") {
+    val df = Seq((3L, "c"), (1L, "a"), (2L, "b"), (5L, "e"), (4L, "d"))
+      .toDF("k", "v")
+    val ranked = graft.ops.Rank.globalRowNumber(df, Seq(col("k")), "rank", partitions = 3)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global rank must stay distributed:\n$plan")
+    assert(ranked.orderBy("k").select("rank").as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("vocab queries keep no single-partition exchange end to end") {
+    Seq("q_vocab_build", "q_vocab_prune").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"$name:\n$plan")
+    }
+  }
+
+  test("annCandidatePairs: recall >= 0.9 vs exact pairs, precision == 1.0, no cross join") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = graft.ops.Similarity.cosineNearDupPairs(emb, cap = 1000000, minCosine = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = graft.ops.Similarity.annCandidatePairs(emb, minCosine = 0.3)
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN pair generation must not cross-join:\n$plan")
+    val got = ann.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert((got -- exact).isEmpty, "every ANN pair must be cosine-verified (precision 1.0)")
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("annTopKJoin: one row per vector with candidates; cosine matches exact") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 100)
+    val knn = graft.ops.Similarity.annTopKJoin(emb, k = 1, minCosine = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(knn.map(_._1).distinct.length === knn.length, "k=1 → one row per id")
+    val exact = graft.ops.Similarity.nearestNeighborJoin(emb, cap = 100).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // the approximate neighbor can never beat the exact one, and whenever it
+    // picks the same neighbor the cosine must agree exactly
+    knn.foreach { case (a, b, c) =>
+      val (eb, ec) = exact(a)
+      assert(c <= ec + 1e-9, s"ann cosine $c beats exact $ec for $a")
+      if (b == eb) assert(math.abs(c - ec) < 1e-9)
+    }
+    // and it should agree with the exact top-1 most of the time
+    val agree = knn.count { case (a, b, _) => exact(a)._1 == b }
+    assert(agree.toDouble / knn.length >= 0.8, s"$agree/${knn.length} top-1 agreement")
+  }
+
+  test("minhash64: identical docs identical sigs; jaccard estimate sane; k respected") {
+    def doc(id: Long, text: String) = (id, text, "en")
+    // two docs sharing ~half their 3-shingles
+    val common = (0 until 40).map(i => s"w$i").mkString(" ")
+    val a = common + " " + (0 until 38).map(i => s"a$i").mkString(" ")
+    val b = common + " " + (0 until 38).map(i => s"b$i").mkString(" ")
+    val d = Seq(doc(1, a), doc(2, a), doc(3, b)).toDF("doc_id", "text", "lang")
+    val k = 64
+    val sig = graft.ops.Dedup.minhashSignatures64(d, k).collect()
+      .map(r => r.getLong(0) -> (1 to k).map(i => r.getLong(i))).toMap
+    assert(sig(1L) === sig(2L))
+    val matching = sig(1L).zip(sig(3L)).count { case (x, y) => x == y }.toDouble / k
+    // true shingle jaccard ≈ 38/118 ≈ 0.32; estimate within wide bounds
+    assert(matching > 0.1 && matching < 0.6, s"jaccard estimate $matching")
+    assert(sig(1L).distinct.size > k / 2, "slots must be independent hashes")
+  }
+
+  test("simhashPairs bucket cap bounds in-bucket expansion") {
+    val rows = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta", "en"))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val capped = graft.ops.Dedup.simhashPairs(d, maxHamming = 3, maxBucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs all share every band bucket; cap 2 keeps ids (1,2) only
+    assert(capped === Set((1L, 2L)))
+    val uncapped = graft.ops.Dedup.simhashPairs(d, maxHamming = 3).collect()
+    assert(uncapped.length === 15) // C(6,2)
+  }
+}

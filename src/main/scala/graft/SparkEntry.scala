@@ -41,10 +41,15 @@ object SparkEntry {
         graft.kg.Evaluate.scoreExamples(s, examples, bundleBc).toDF())
     }),
 
-    // pred.py-style evaluation: per-relation P/R report over a labeled split
+    // pred.py-style evaluation: per-relation P/R report over a labeled
+    // split, scored from a SAVED+RELOADED experiment directory — the S9
+    // deploy contract (kbp.py:38-45); the round trip is bit-exact.
     "kg_eval_report" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val bundle = Pipeline.buildBundle()
+      val root = java.nio.file.Files.createTempDirectory("graft-exp").toString
+      graft.kg.Experiments.save(root, "deploy", bundle, bundle.weights)
+      val bundleBc = s.sparkContext.broadcast(graft.kg.Experiments.load(root, "deploy"))
       val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
       graft.kg.Evaluate.run(s, examples, bundleBc).perRelation
     }),
@@ -73,7 +78,10 @@ object SparkEntry {
         graft.kg.Models.ModelConfig("single_small", "lstm"),
         graft.kg.Models.ModelConfig("single", "lstm"),
         graft.kg.Models.ModelConfig("single_conv", "gru"),
-        graft.kg.Models.ModelConfig("concat", "gru")))
+        graft.kg.Models.ModelConfig("concat", "gru"),
+        graft.kg.Models.ModelConfig("single_small", "mut1"),
+        graft.kg.Models.ModelConfig("single_small", "mut2"),
+        graft.kg.Models.ModelConfig("single_small", "mut3")))
     }),
 
     // single-path dependency featurizer end-to-end (M6 + M7a): shortest
@@ -242,6 +250,12 @@ object SparkEntry {
           coalesce(col("src0_cnt"), lit(-1L)).as("src0_cnt"),
           coalesce(col("src0_chars"), lit(-1L)).as("src0_chars"))
     }),
+
+    // J2 in full: parse both external report text formats and align them
+    // (plot_utils.py:47-64 + align_reports.py); fixed deterministic inputs,
+    // oracle = the expected aligned table as SQL VALUES
+    "q_report_parse" -> ((s, _) => graft.kg.Reports.align(s, SampleReports.sklearn,
+      SampleReports.gabor)),
 
     // J3 wrong-example id join
     "q_wrongs_join" -> ((s, dir) => {
@@ -502,6 +516,14 @@ object SparkEntry {
            CAST(COALESCE(s.src0_chars, -1) AS BIGINT) AS src0_chars
          FROM a LEFT JOIN s ON a.lang = s.lang""",
 
+    "q_report_parse" ->
+      """SELECT * FROM (VALUES
+           ('no_relation','86.00%','34.00%','49.00%','6191','100.00%','0.00%','0.00%','9'),
+           ('per:employee_of','50.00%','25.00%','33.00%','12','N/A','N/A','N/A','N/A'),
+           ('per:spouse','75.00%','60.00%','67.00%','20','50.00%','25.00%','33.33%','3'))
+         AS t(relation, nn_precision, nn_recall, nn_f1, nn_support,
+              sup_precision, sup_recall, sup_f1, sup_support)""",
+
     "q_wrongs_join" ->
       """WITH preds AS (SELECT event_id,
            CASE WHEN value > 100 THEN 'purchase' ELSE event_type END AS pred FROM events)
@@ -678,4 +700,22 @@ object SparkEntry {
                 x -> exp(x - list_max(CAST(embedding AS DOUBLE[]))))), 6) AS conf
          FROM embeddings""",
   )
+}
+
+/** Fixed report-text inputs for `q_report_parse` — format examples straight
+  * from the reference's comments (plot_utils.py:51,61). */
+private[graft] object SampleReports {
+  val sklearn: String =
+    """             precision    recall  f1-score   support
+      |
+      |         no_relation       0.86      0.34      0.49      6191
+      |     per:employee_of       0.50      0.25      0.33        12
+      |          per:spouse       0.75      0.60      0.67        20
+      |
+      |         avg / total       0.80      0.30      0.44      6223""".stripMargin
+
+  val gabor: String =
+    """[no_relation]  #: 9  P: 100.00%  R: 0.00%  F1: 0.00%
+      |[per:spouse]  #: 3  P: 50.00%  R: 25.00%  F1: 33.33%
+      |[org:founded_by]  #: 2  P: 10.00%  R: 5.00%  F1: 6.67%""".stripMargin
 }

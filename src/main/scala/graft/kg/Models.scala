@@ -7,9 +7,9 @@ package graft.kg
  *
  * Cell semantics follow Keras 0.x defaults (the reference's framework):
  * hard_sigmoid inner activation, tanh output activation, test-time dropout
- * scaling by (1 - p). `mut1-3` (JZS variants) are accepted as aliases of
- * gru — they differ only in gate wiring the reference never shipped weights
- * for; the dispatch surface is what matters for config compatibility.
+ * scaling by (1 - p). `mut1-3` dispatch to real MUT1/2/3 (JZS) cells wired
+ * per Jozefowicz et al. 2015 (see [[MutCell]]); the reference maps the same
+ * config strings to keras 0.x JZS1-3 (models.py:29-30).
  *
  * Weight fixtures are deterministic per (seed, tensor-index) — the same
  * scheme as [[ScorerWeights.fixture]].
@@ -125,10 +125,99 @@ object Models {
     }
   }
 
+  /**
+   * MUT1-3 recurrent cells — the reference's `mut1/mut2/mut3` configs
+   * dispatch to keras 0.x JZS1-3 (models.py:29-30); the cell wiring is
+   * published in Jozefowicz, Zaremba & Sutskever 2015, "An Empirical
+   * Exploration of Recurrent Network Architectures" (the JZS paper):
+   *
+   *   MUT1: z = σ(Wz·x + bz)                 (update gate sees only x)
+   *         r = σ(Wr·x + Ur·h + br)
+   *         h' = tanh(Uh·(r⊙h) + tanh(x̃) + bh) ⊙ z + h ⊙ (1−z)
+   *   MUT2: z = σ(Wz·x + Uz·h + bz)
+   *         r = σ(x̃ + Ur·h + br)             (reset gate sees raw x)
+   *         h' = tanh(Uh·(r⊙h) + Wh·x + bh) ⊙ z + h ⊙ (1−z)
+   *   MUT3: z = σ(Wz·x + Uz·tanh(h) + bz)    (update gate sees tanh(h))
+   *         r = σ(Wr·x + Ur·h + br)
+   *         h' = tanh(Uh·(r⊙h) + Wh·x + bh) ⊙ z + h ⊙ (1−z)
+   *
+   * x̃ is x when inDim == outDim, otherwise a fixed seeded projection P·x
+   * (the paper's formulas assume matching dims; keras 0.x used the same
+   * projection device). Gates use hard_sigmoid for consistency with this
+   * zoo's Keras-0.x LSTM/GRU treatment; the reference ships no trained
+   * weights, so the frozen fixture tensors define semantics here as
+   * everywhere (SURVEY.md §7.3).
+   */
+  final class MutCell(variant: Int, seed: Long, base: Int,
+      val inDim: Int, val outDim: Int) extends RnnCell {
+    require(variant >= 1 && variant <= 3, s"mut variant $variant")
+    private val wZ = mat(seed, base, inDim, outDim, 0.3f)
+    private val uZ = mat(seed, base + 1, outDim, outDim, 0.3f)
+    private val bZ = vec(seed, base + 2, outDim, 0.1f)
+    private val wR = mat(seed, base + 3, inDim, outDim, 0.3f)
+    private val uR = mat(seed, base + 4, outDim, outDim, 0.3f)
+    private val bR = vec(seed, base + 5, outDim, 0.1f)
+    private val wH = mat(seed, base + 6, inDim, outDim, 0.3f)
+    private val uH = mat(seed, base + 7, outDim, outDim, 0.3f)
+    private val bH = vec(seed, base + 8, outDim, 0.1f)
+    private val proj = if (inDim == outDim) null else mat(seed, base + 9, inDim, outDim, 0.3f)
+
+    def run(xs: Array[Array[Float]], collect: Boolean): Array[Array[Float]] = {
+      val h = new Array[Float](outDim)
+      val rh = new Array[Float](outDim)
+      val th = new Array[Float](outDim)
+      val xt = new Array[Float](outDim)
+      val out = if (collect) Array.ofDim[Array[Float]](xs.length) else null
+      var t = 0
+      while (t < xs.length) {
+        val x = xs(t)
+        // x̃: x itself at matching dims, else the fixed projection
+        if (proj == null) System.arraycopy(x, 0, xt, 0, outDim)
+        else { java.util.Arrays.fill(xt, 0f); addMV(proj, x, inDim, xt, outDim) }
+        val gz = bZ.clone(); val gr = bR.clone()
+        variant match {
+          case 1 =>
+            addMV(wZ, x, inDim, gz, outDim) // z from x only
+            addMV(wR, x, inDim, gr, outDim); addMV(uR, h, outDim, gr, outDim)
+          case 2 =>
+            addMV(wZ, x, inDim, gz, outDim); addMV(uZ, h, outDim, gz, outDim)
+            var j = 0
+            while (j < outDim) { gr(j) += xt(j); j += 1 } // r sees raw x̃
+            addMV(uR, h, outDim, gr, outDim)
+          case 3 =>
+            var j = 0
+            while (j < outDim) { th(j) = math.tanh(h(j)).toFloat; j += 1 }
+            addMV(wZ, x, inDim, gz, outDim); addMV(uZ, th, outDim, gz, outDim)
+            addMV(wR, x, inDim, gr, outDim); addMV(uR, h, outDim, gr, outDim)
+        }
+        var j = 0
+        while (j < outDim) { rh(j) = hardSigmoid(gr(j)) * h(j); j += 1 }
+        val gh = bH.clone()
+        addMV(uH, rh, outDim, gh, outDim)
+        if (variant == 1) {
+          j = 0
+          while (j < outDim) { gh(j) += math.tanh(xt(j)).toFloat; j += 1 }
+        } else addMV(wH, x, inDim, gh, outDim)
+        j = 0
+        while (j < outDim) {
+          val z = hardSigmoid(gz(j))
+          h(j) = z * math.tanh(gh(j)).toFloat + (1f - z) * h(j)
+          j += 1
+        }
+        if (collect) out(t) = h.clone()
+        t += 1
+      }
+      if (collect) out else Array(h.clone())
+    }
+  }
+
   private def cell(config: ModelConfig, seed: Long, base: Int, inDim: Int, outDim: Int): RnnCell =
     config.rnn match {
       case "lstm" => new LstmCell(seed, base, inDim, outDim)
-      case "gru" | "mut1" | "mut2" | "mut3" => new GruCell(seed, base, inDim, outDim)
+      case "gru" => new GruCell(seed, base, inDim, outDim)
+      case "mut1" => new MutCell(1, seed, base, inDim, outDim)
+      case "mut2" => new MutCell(2, seed, base, inDim, outDim)
+      case "mut3" => new MutCell(3, seed, base, inDim, outDim)
       case other => throw new IllegalArgumentException(s"unknown rnn: $other")
     }
 

@@ -247,9 +247,10 @@ object Pipeline {
    * to the page corpus.
    */
   def runCheckpointed(spark: SparkSession, pages: Dataset[Page], outDir: String,
-      buckets: Int = 32, salted: Boolean = false, seed: Long = 42L): RunReport = {
+      buckets: Int = 32, salted: Boolean = false, seed: Long = 42L,
+      bundle: Option[ScoringBundle] = None): RunReport = {
     import spark.implicits._
-    val bundleBc = spark.sparkContext.broadcast(buildBundle(seed))
+    val bundleBc = spark.sparkContext.broadcast(bundle.getOrElse(buildBundle(seed)))
     val errorAcc = spark.sparkContext.longAccumulator("featurize_errors_total")
 
     val done = Lineage.doneBuckets(outDir, "triples_raw")
@@ -288,10 +289,13 @@ object Pipeline {
     RunReport(remainingBuckets, done.toSeq.sorted, nTriples, nNodes, errorAcc.value)
   }
 
-  /** One-shot (non-checkpointed) triple extraction for benchmarks/tests. */
+  /** One-shot (non-checkpointed) triple extraction for benchmarks/tests.
+    * `bundle` overrides the fixture bundle — the deploy path, where the
+    * model comes from a saved experiment (Experiments.load) and optionally
+    * a Senna-preloaded embedding table (Pretrain). */
   def extractTriples(spark: SparkSession, pages: Dataset[Page], salted: Boolean = false,
-      seed: Long = 42L): DataFrame = {
-    val bundleBc = spark.sparkContext.broadcast(buildBundle(seed))
+      seed: Long = 42L, bundle: Option[ScoringBundle] = None): DataFrame = {
+    val bundleBc = spark.sparkContext.broadcast(bundle.getOrElse(buildBundle(seed)))
     val scored = scorePages(spark, pages, bundleBc)
     val dict = entityDict(spark)
     val linked = if (salted) linkSalted(scored, dict) else linkBroadcast(scored, dict)

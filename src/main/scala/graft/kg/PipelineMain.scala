@@ -7,12 +7,17 @@ import org.apache.spark.sql.SparkSession
  *
  *   spark-submit --class graft.kg.PipelineMain <jar> \
  *     --out /data/kg_out [--pages 100000] [--buckets 256] [--salted] \
- *     [--pages-path /data/pages_parquet]
+ *     [--pages-path /data/pages_parquet] \
+ *     [--experiment /data/experiments/deploy] \
+ *     [--senna-words words.lst --senna-embeddings embeddings.txt]
  *
  * With --pages-path the corpus is read from an existing pages table
  * (url, warc_ts, html, text, lang); otherwise the deterministic synthetic
- * generator supplies --pages rows. On a cluster, every setting here comes
- * from spark-submit; the code makes no local[] assumptions.
+ * generator supplies --pages rows. --experiment loads a saved model
+ * directory (S9 deploy contract, kbp.py:38-45) instead of the fixture
+ * bundle; --senna-* preloads a Senna-format pretrained embedding table
+ * into the model (S6, models.py:33-40). On a cluster, every setting here
+ * comes from spark-submit; the code makes no local[] assumptions.
  */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
@@ -21,6 +26,9 @@ object PipelineMain {
     var buckets = 32
     var salted = false
     var pagesPath = ""
+    var experiment = ""
+    var sennaWords = ""
+    var sennaEmb = ""
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -29,6 +37,9 @@ object PipelineMain {
         case "--buckets" => buckets = args(i + 1).toInt; i += 2
         case "--salted" => salted = true; i += 1
         case "--pages-path" => pagesPath = args(i + 1); i += 2
+        case "--experiment" => experiment = args(i + 1); i += 2
+        case "--senna-words" => sennaWords = args(i + 1); i += 2
+        case "--senna-embeddings" => sennaEmb = args(i + 1); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -46,7 +57,21 @@ object PipelineMain {
 
     val corpus = if (pagesPath.nonEmpty) spark.read.parquet(pagesPath).as[Page]
       else Pipeline.generatePages(spark, pages)
-    val report = Pipeline.runCheckpointed(spark, corpus, out, buckets = buckets, salted = salted)
+    // deploy-time model: saved experiment dir (S9), else the fixture bundle;
+    // optional Senna embedding preload (S6) on top of either
+    val base = if (experiment.nonEmpty) {
+      val p = java.nio.file.Paths.get(experiment)
+      Some(Experiments.load(p.getParent.toString, p.getFileName.toString))
+    } else None
+    val bundle = (base, sennaWords.nonEmpty && sennaEmb.nonEmpty) match {
+      case (b, true) =>
+        val b0 = b.getOrElse(Pipeline.buildBundle())
+        Some(b0.copy(weights =
+          Pretrain.loadAndPreload(b0.weights, b0.word, sennaWords, sennaEmb)))
+      case (b, false) => b
+    }
+    val report = Pipeline.runCheckpointed(spark, corpus, out, buckets = buckets,
+      salted = salted, bundle = bundle)
     // K2 sink: best_scores.json-style run summary next to the graph tables
     Metrics.writeScoresJson(s"$out/run_scores.json", Map(
       "triples" -> report.triples.toDouble,

@@ -35,20 +35,22 @@ object Trainer {
       dense: Array[Array[Float]], denseB: Array[Float],
       log: Seq[EpochMetrics], bestEpoch: Int)
 
-  /** Frozen-encoder feature extraction (sent model): one narrow pass. */
+  /** Frozen-encoder feature extraction (sent model): one narrow pass,
+    * routed through the full Split build ([[FeaturizeStage.run]]) so the
+    * reference's training-side policies all apply — P11 ignore-relations,
+    * P14 error channel, P12 type-validity filter, and M5 `num_corrupt`
+    * negative-sampling expansion (reference: data/dataset.py:74-127, which
+    * drives `num_corrupt` corrupted clones into the train split). Corrupted
+    * rows arrive already relabeled `no_relation`. */
   def extractFeatures(spark: SparkSession, examples: Dataset[SentenceExample],
-      bundleBc: Broadcast[Pipeline.ScoringBundle]): Dataset[FeatureRow] = {
+      bundleBc: Broadcast[Pipeline.ScoringBundle], numCorrupt: Int = 0): Dataset[FeatureRow] = {
     import spark.implicits._
-    examples.mapPartitions { it =>
+    FeaturizeStage.run(spark, examples, bundleBc, numCorrupt).mapPartitions { it =>
       val b = bundleBc.value
       val scorer = new Scorer(b.weights, b.typechecker)
-      it.flatMap { ex =>
-        try {
-          val (seq, sNer, oNer) = Pipeline.featurizeSent(ex, b)
-          ex.relation.filter(_.nonEmpty).flatMap(r =>
-            if (b.rel.contains(r)) Some(FeatureRow(b.rel(r), sNer, oNer, scorer.hiddenState(seq)))
-            else None)
-        } catch { case _: NoPathException | _: NoSuchElementException => None }
+      it.flatMap { idf =>
+        idf.feat.relation.map(r => FeatureRow(r, idf.feat.subjectNer, idf.feat.objectNer,
+          scorer.hiddenState(idf.feat.sequence.toArray)))
       }
     }
   }
@@ -81,7 +83,8 @@ object Trainer {
    */
   def train(spark: SparkSession, trainFeat: Dataset[FeatureRow], devFeat: Dataset[FeatureRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 15, lr: Double = 0.5,
-      logPath: Option[String] = None): TrainResult = {
+      logPath: Option[String] = None,
+      experimentDir: Option[(String, String)] = None): TrainResult = {
     val b = bundleBc.value
     val hDim = b.weights.hidden
     val rDim = b.rel.size
@@ -194,9 +197,18 @@ object Trainer {
 
     train.unpersist(); dev.unpersist()
     // restore best weights (train.py:99-103); fall back to final epoch
-    best match {
+    val result = best match {
       case Some((e, _, bw, bb)) => TrainResult(bw, bb, log.toSeq, e)
       case None => TrainResult(w, bias, log.toSeq, epochs)
     }
+    // S9: persist the experiment-artifact directory (train.py:155-157,171 —
+    // config + vocabs + best weights), reloadable by Experiments.load
+    experimentDir.foreach { case (root, name) =>
+      Experiments.save(root, name, b,
+        b.weights.copy(dense = result.dense, denseB = result.denseB),
+        extras = Map("best_epoch" -> result.bestEpoch.toString,
+          "epochs" -> epochs.toString, "lr" -> lr.toString))
+    }
+    result
   }
 }

@@ -136,7 +136,11 @@ object Similarity {
   def annTopKJoin(embeddings: DataFrame, k: Int = 1, minCosine: Double = 0.2,
       bands: Int = 12, planesPerBand: Int = 3, maxBucket: Int = 10000,
       seed: Long = 7L): DataFrame = {
+    // materialize the candidate pairs once: the self-union below would
+    // otherwise recompute the whole banding+expansion subplan on both sides
+    // (the survivors are tiny relative to the scan — safe to pin)
     val pairs = annCandidatePairs(embeddings, minCosine, bands, planesPerBand, maxBucket, seed)
+      .localCheckpoint()
     val sym = pairs.unionByName(pairs.select(
       col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
     val w = org.apache.spark.sql.expressions.Window

@@ -28,12 +28,29 @@ class ModelsSpec extends AnyFunSuite {
     }
   }
 
-  test("mut1-3 alias to gru (dispatch surface parity with models.py:31)") {
-    val g = Models.get(cfg("single_small", "gru"), bundle).logits(Array(seq1))
-    for (m <- Seq("mut1", "mut2", "mut3"))
-      assert(Models.get(cfg("single_small", m), bundle).logits(Array(seq1)).toSeq === g.toSeq)
+  test("mut1-3 are real JZS cells: pairwise distinct, distinct from gru, deterministic") {
+    val outs = Seq("gru", "mut1", "mut2", "mut3").map(r =>
+      r -> Models.get(cfg("single_small", r), bundle).logits(Array(seq1)).toSeq)
+    outs.combinations(2).foreach { case Seq((n1, o1), (n2, o2)) =>
+      assert(o1 !== o2, s"$n1 and $n2 must differ in gate wiring")
+    }
+    for ((m, o) <- outs)
+      assert(Models.get(cfg("single_small", m), bundle).logits(Array(seq1)).toSeq === o,
+        s"$m must be deterministic")
     assertThrows[IllegalArgumentException](Models.get(cfg("single_small", "nope"), bundle))
     assertThrows[IllegalArgumentException](Models.get(cfg("nope"), bundle))
+  }
+
+  test("mut cells handle matching dims (raw-x path) and dim mismatch (projection)") {
+    for (m <- Seq("mut1", "mut2", "mut3")) {
+      // embDim == hidden1 → x enters ungated without projection
+      val matched = Models.ModelConfig("single_small", m, embDim = 12, hidden = (12, 10))
+      val (i1, c1) = Models.get(matched, bundle).predict(Array(seq1), 1, 2)
+      assert(c1 > 0 && c1 <= 1 && i1 >= 0)
+      // embDim != hidden1 → fixed seeded projection
+      val (i2, c2) = Models.get(cfg("single_small", m), bundle).predict(Array(seq1), 1, 2)
+      assert(c2 > 0 && c2 <= 1 && i2 >= 0)
+    }
   }
 
   test("lstm and gru produce different scores; layers matter") {

@@ -41,6 +41,35 @@ class TrainerSpec extends AnyFunSuite {
     Lineage.deleteRecursively(dir.toString)
   }
 
+  test("M5 corruption wiring: corrupt negatives expand the split, stay " +
+      "deterministic, and training still learns") {
+    val trainEx = spark.range(300).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(300, 400).map(i => Gen.labeledExample(42L, i))
+    val noRel = bundleBc.value.rel("no_relation")
+    val base = Trainer.extractFeatures(spark, trainEx, bundleBc, numCorrupt = 0)
+    val corrupted = Trainer.extractFeatures(spark, trainEx, bundleBc, numCorrupt = 2)
+    val nBase = base.count()
+    val nCorr = corrupted.count()
+    assert(nCorr > nBase * 2, s"corruption must expand the split: $nBase -> $nCorr")
+    val extraLabels = corrupted.collect().map(_.label)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val baseLabels = base.collect().map(_.label)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(extraLabels(noRel) - baseLabels.getOrElse(noRel, 0) === (nCorr - nBase),
+      "every corrupted clone is relabeled no_relation (featurizers.py:74-85)")
+    // id-seeded corruption replays identically (the reference's global
+    // np.random cannot — SURVEY §7.3 determinism upgrade)
+    val again = Trainer.extractFeatures(spark, trainEx, bundleBc, numCorrupt = 2)
+      .collect().map(r => (r.label, r.subjectNer, r.objectNer, r.h.toSeq)).sortBy(_.hashCode)
+    val first = corrupted.collect().map(r => (r.label, r.subjectNer, r.objectNer, r.h.toSeq))
+      .sortBy(_.hashCode)
+    assert(again === first)
+    // training over the corrupted split still converges
+    val devFeat = Trainer.extractFeatures(spark, devEx, bundleBc)
+    val result = Trainer.train(spark, corrupted, devFeat, bundleBc, epochs = 4)
+    assert(result.log.last.trainLoss < result.log.head.trainLoss)
+  }
+
   test("training is deterministic (same data, same epochs → same weights)") {
     val trainEx = spark.range(200).map(i => Gen.labeledExample(42L, i))
     val devEx = spark.range(200, 260).map(i => Gen.labeledExample(42L, i))

@@ -319,6 +319,8 @@ object SparkEntry {
     // ---- dedup family ---------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "q_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(t(s, dir, "documents"))),
+    // production 64-bit form (xxhash64 slots; no SQL oracle — content-pinned)
+    "q_minhash_sig64" -> ((s, dir) => Dedup.minhashSignatures64(t(s, dir, "documents"))),
     "q_lsh_pairs" -> ((s, dir) => Dedup.lshCandidatePairs(t(s, dir, "documents"))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
     "q_ngram_jaccard" -> ((s, dir) =>

@@ -68,6 +68,20 @@ object SparkEntry {
       result.log.toDF()
     }),
 
+    // FULL-model training (the reference's actual training surface):
+    // BPTT through embeddings+LSTM+readout, one treeAggregate per epoch,
+    // gradient kernel finite-difference-checked (BackpropSpec)
+    "kg_train_full" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val trainSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val devSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      graft.kg.Trainer.trainFull(s, trainSeq, devSeq, bundleBc, epochs = 5, lr = 1.0)
+        .log.toDF()
+    }),
+
     // M1 model-zoo dispatch: every model shape × both cell types scores the
     // same labeled split (sent channel for single*, 4-channel for concat)
     "kg_model_zoo" -> ((s, _) => {

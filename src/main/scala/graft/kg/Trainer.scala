@@ -55,6 +55,129 @@ object Trainer {
     }
   }
 
+  /** One raw training row for FULL-model training: label + NER pair +
+    * integer token sequence (the encoder is trained, so features can't be
+    * precomputed — the sequence itself ships to every epoch). */
+  final case class SeqRow(label: Int, subjectNer: Int, objectNer: Int, sequence: Array[Int])
+
+  /** Sequence extraction for full training — same Split-build policies as
+    * [[extractFeatures]] (P11/P12/P14 + M5 corruption), minus the frozen
+    * forward pass. */
+  def extractSequences(spark: SparkSession, examples: Dataset[SentenceExample],
+      bundleBc: Broadcast[Pipeline.ScoringBundle], numCorrupt: Int = 0): Dataset[SeqRow] = {
+    import spark.implicits._
+    FeaturizeStage.run(spark, examples, bundleBc, numCorrupt).flatMap { idf =>
+      idf.feat.relation.map(r =>
+        SeqRow(r, idf.feat.subjectNer, idf.feat.objectNer, idf.feat.sequence.toArray))
+    }
+  }
+
+  final case class FullTrainResult(weights: ScorerWeights, log: Seq[EpochMetrics], bestEpoch: Int)
+
+  /**
+   * FULL-model training: backprop through embeddings + LSTM + readout (the
+   * reference's actual training surface — train.py compiles the whole Keras
+   * graph with rmsprop over filtered cross-entropy; we use full-batch
+   * gradient descent, deterministic by construction). Each epoch is ONE
+   * `treeAggregate` over the cached sequences; the flat gradient vector is
+   * the whole model (~10^4 params, ~80 KB) regardless of corpus size —
+   * executors do all the BPTT work in parallel, the driver applies the step.
+   * Same model-selection rule as [[train]] (best dev precision gated on
+   * dev F1 > 0.3, best weights restored — train.py:95-103).
+   */
+  def trainFull(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
+      bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.5,
+      logPath: Option[String] = None,
+      experimentDir: Option[(String, String)] = None): FullTrainResult = {
+    val b = bundleBc.value
+    val layout = Backprop.layoutOf(b.weights)
+    val retain = (1f - b.weights.dropout).toDouble
+    val noRel = b.rel("no_relation")
+    val tc = b.typechecker
+    val rDim = b.rel.size
+
+    val train = trainSeq.cache()
+    val dev = devSeq.cache()
+    val nTrain = train.count().toDouble
+    require(nTrain > 0, "empty training split")
+
+    var flat = Backprop.flatten(b.weights)
+
+    def devMetrics(fw: Array[Double]): (Double, Double, Double, Double) = {
+      val bc = spark.sparkContext.broadcast(fw)
+      val (tp, predPos, targPos, correct, total) = dev.rdd.treeAggregate((0L, 0L, 0L, 0L, 0L))(
+        seqOp = { case ((tp0, pp0, gp0, c0, n0), row) =>
+          val logits = Backprop.logits(bc.value, layout, retain, row.sequence)
+          val mask = tc.maskRow(row.subjectNer, row.objectNer)
+          var best = 0
+          var mx = logits(0) * mask(0)
+          var r = 1
+          while (r < rDim) { val v = logits(r) * mask(r); if (v > mx) { mx = v; best = r }; r += 1 }
+          (tp0 + (if (best == row.label && row.label != noRel) 1L else 0L),
+           pp0 + (if (best != noRel) 1L else 0L),
+           gp0 + (if (row.label != noRel) 1L else 0L),
+           c0 + (if (best == row.label) 1L else 0L),
+           n0 + 1L)
+        },
+        combOp = { case ((a1, a2, a3, a4, a5), (b1, b2, b3, b4, b5)) =>
+          (a1 + b1, a2 + b2, a3 + b3, a4 + b4, a5 + b5) })
+      bc.destroy()
+      val p = if (predPos == 0) 0.0 else tp.toDouble / predPos
+      val rc = if (targPos == 0) 0.0 else tp.toDouble / targPos
+      val f1 = if (p + rc == 0) 0.0 else 2 * p * rc / (p + rc)
+      (p, rc, f1, if (total == 0) 0.0 else correct.toDouble / total)
+    }
+
+    val log = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
+    var best: Option[(Int, Double, Array[Double])] = None
+
+    for (epoch <- 1 to epochs) {
+      val bc = spark.sparkContext.broadcast(flat)
+      val (grad, loss) = train.rdd.treeAggregate((new Array[Double](layout.total), 0.0))(
+        seqOp = { case ((g, l0), row) =>
+          val mask = tc.maskRow(row.subjectNer, row.objectNer)
+          val l = Backprop.accumulate(bc.value, layout, retain,
+            row.sequence, row.label, mask, g)
+          (g, l0 + l)
+        },
+        combOp = { case ((g1, l1), (g2, l2)) =>
+          var i = 0
+          while (i < g1.length) { g1(i) += g2(i); i += 1 }
+          (g1, l1 + l2) })
+      bc.destroy()
+      val next = new Array[Double](layout.total)
+      var i = 0
+      while (i < next.length) { next(i) = flat(i) - lr * grad(i) / nTrain; i += 1 }
+      flat = next
+      val (p, rc, f1, acc) = devMetrics(flat)
+      val m = EpochMetrics(epoch, loss / nTrain, p, rc, f1, acc)
+      log += m
+      if (m.devF1 > 0.3 && best.forall(_._2 < m.devPrecision))
+        best = Some((epoch, m.devPrecision, flat.clone()))
+    }
+
+    logPath.foreach { path =>
+      val lines = log.map(m =>
+        s"""{"epoch":${m.epoch},"train_loss":${m.trainLoss},"dev_precision":${m.devPrecision},"dev_recall":${m.devRecall},"dev_f1":${m.devF1},"dev_accuracy":${m.devAccuracy}}""")
+      val pp = java.nio.file.Paths.get(path)
+      if (pp.getParent != null) java.nio.file.Files.createDirectories(pp.getParent)
+      java.nio.file.Files.write(pp, lines.mkString("\n").getBytes("UTF-8"))
+    }
+
+    train.unpersist(); dev.unpersist()
+    val (bestEpoch, bestFlat) = best match {
+      case Some((e, _, w)) => (e, w)
+      case None => (epochs, flat)
+    }
+    val weights = Backprop.unflatten(bestFlat, layout, b.weights.dropout)
+    experimentDir.foreach { case (root, name) =>
+      Experiments.save(root, name, b, weights,
+        extras = Map("best_epoch" -> bestEpoch.toString,
+          "epochs" -> epochs.toString, "lr" -> lr.toString, "mode" -> "full"))
+    }
+    FullTrainResult(weights, log.toSeq, bestEpoch)
+  }
+
   /** Masked, clipped, renormalized softmax (typecheck.py:28-39). */
   private def filteredSoftmax(logits: Array[Double], mask: Array[Float]): Array[Double] = {
     val n = logits.length

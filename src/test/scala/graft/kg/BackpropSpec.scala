@@ -1,0 +1,95 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full-model gradient kernel: finite-difference gradient check, layout
+  * round trip, and forward-pass agreement with the float inference kernel. */
+class BackpropSpec extends AnyFunSuite {
+
+  private val w = ScorerWeights.fixture(vocabSize = 12, embDim = 4, hidden = 5,
+    relSize = 4, seed = 3L)
+  private val layout = Backprop.layoutOf(w)
+  private val retain = (1f - w.dropout).toDouble
+  private val mask = Array(1f, 1f, 0f, 1f)
+  private val seqs = Seq(
+    (Array(1, 5, 9, 3, 2), 1),
+    (Array(7, 0, 11, 4), 3),
+    (Array(2, 2, 6), 0))
+
+  private def totalLoss(flat: Array[Double]): Double = {
+    val scratch = new Array[Double](layout.total)
+    seqs.map { case (s, y) =>
+      Backprop.accumulate(flat, layout, retain, s, y, mask, scratch)
+    }.sum
+  }
+
+  test("flatten/unflatten round-trips every tensor") {
+    val r = Backprop.unflatten(Backprop.flatten(w), layout, w.dropout)
+    assert(r.embedding.map(_.toSeq).toSeq === w.embedding.map(_.toSeq).toSeq)
+    assert(r.wI.map(_.toSeq).toSeq === w.wI.map(_.toSeq).toSeq)
+    assert(r.uF.map(_.toSeq).toSeq === w.uF.map(_.toSeq).toSeq)
+    assert(r.bC.toSeq === w.bC.toSeq)
+    assert(r.uO.map(_.toSeq).toSeq === w.uO.map(_.toSeq).toSeq)
+    assert(r.dense.map(_.toSeq).toSeq === w.dense.map(_.toSeq).toSeq)
+    assert(r.denseB.toSeq === w.denseB.toSeq)
+  }
+
+  test("BPTT gradient matches central finite differences everywhere") {
+    val flat = Backprop.flatten(w)
+    val analytic = new Array[Double](layout.total)
+    seqs.foreach { case (s, y) =>
+      Backprop.accumulate(flat, layout, retain, s, y, mask, analytic)
+    }
+    val eps = 1e-6
+    var checked = 0
+    var worst = 0.0
+    // sample across ALL tensors: every 3rd parameter
+    var i = 0
+    while (i < layout.total) {
+      val orig = flat(i)
+      flat(i) = orig + eps
+      val lp = totalLoss(flat)
+      flat(i) = orig - eps
+      val lm = totalLoss(flat)
+      flat(i) = orig
+      val numeric = (lp - lm) / (2 * eps)
+      // the 1e-5 floor keeps finite-difference truncation noise on
+      // near-zero gradients (|g| ~ 1e-7, |Δ| ~ 1e-10) from dominating
+      val denom = math.max(1e-5, math.abs(numeric) + math.abs(analytic(i)))
+      val rel = math.abs(numeric - analytic(i)) / denom
+      if (rel > worst) worst = rel
+      assert(rel < 1e-4,
+        s"grad mismatch at flat[$i]: analytic=${analytic(i)} numeric=$numeric rel=$rel")
+      checked += 1
+      i += 3
+    }
+    assert(checked > 80) // 271 params / stride 3
+    assert(worst < 1e-4)
+  }
+
+  test("gradient of masked-out logits is exactly zero through the dense column") {
+    val flat = Backprop.flatten(w)
+    val g = new Array[Double](layout.total)
+    Backprop.accumulate(flat, layout, retain, Array(1, 2, 3), 0, mask, g)
+    // dense column r=2 is killed by mask(2)=0
+    (0 until layout.hidden).foreach { j =>
+      assert(g(layout.dense + j * layout.relSize + 2) === 0.0)
+    }
+    assert(g(layout.denseB + 2) === 0.0)
+  }
+
+  test("double-precision training forward agrees with the float inference kernel") {
+    val bundle = Pipeline.buildBundle()
+    val flat = Backprop.flatten(bundle.weights)
+    val l = Backprop.layoutOf(bundle.weights)
+    val scorer = new Scorer(bundle.weights, bundle.typechecker)
+    val r = (1f - bundle.weights.dropout).toDouble
+    Seq(Array(1, 5, 9, 3, 2, 7), Array(4, 4, 4), Array(10)).foreach { s =>
+      val a = Backprop.logits(flat, l, r, s)
+      val b = scorer.logits(s)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-3, s"double fwd $x vs float fwd $y")
+      }
+    }
+  }
+}

@@ -70,6 +70,29 @@ class TrainerSpec extends AnyFunSuite {
     assert(result.log.last.trainLoss < result.log.head.trainLoss)
   }
 
+  test("FULL-model training (BPTT through embeddings+LSTM+readout) learns and is deterministic") {
+    val trainEx = spark.range(400).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(400, 520).map(i => Gen.labeledExample(42L, i))
+    val tf = Trainer.extractSequences(spark, trainEx, bundleBc)
+    val df = Trainer.extractSequences(spark, devEx, bundleBc)
+    val r1 = Trainer.trainFull(spark, tf, df, bundleBc, epochs = 6, lr = 1.0)
+    info(r1.log.map(m => f"epoch ${m.epoch}: loss ${m.trainLoss}%.4f acc ${m.devAccuracy}%.3f").mkString("; "))
+    assert(r1.log.length === 6)
+    assert(r1.log.last.trainLoss < r1.log.head.trainLoss,
+      s"full-model loss must drop: ${r1.log.head.trainLoss} -> ${r1.log.last.trainLoss}")
+    // trained weights really moved every tensor family (not just the readout)
+    val w0 = bundleBc.value.weights
+    assert(r1.weights.embedding.flatten.toSeq !== w0.embedding.flatten.toSeq)
+    assert(r1.weights.uC.flatten.toSeq !== w0.uC.flatten.toSeq)
+    assert(r1.weights.dense.flatten.toSeq !== w0.dense.flatten.toSeq)
+    val r2 = Trainer.trainFull(spark, tf, df, bundleBc, epochs = 6, lr = 1.0)
+    assert(r1.weights.denseB.toSeq === r2.weights.denseB.toSeq)
+    assert(r1.weights.embedding.flatten.toSeq === r2.weights.embedding.flatten.toSeq)
+    r1.log.zip(r2.log).foreach { case (a, b) =>
+      assert(math.abs(a.trainLoss - b.trainLoss) < 1e-9)
+    }
+  }
+
   test("training is deterministic (same data, same epochs → same weights)") {
     val trainEx = spark.range(200).map(i => Gen.labeledExample(42L, i))
     val devEx = spark.range(200, 260).map(i => Gen.labeledExample(42L, i))

@@ -337,6 +337,9 @@ object SparkEntry {
     "q_minhash_sig64" -> ((s, dir) => Dedup.minhashSignatures64(t(s, dir, "documents"))),
     "q_lsh_pairs" -> ((s, dir) => Dedup.lshCandidatePairs(t(s, dir, "documents"))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+    // near-dup clusters: LSH pairs → connected components (min-label
+    // propagation); exact oracle via DuckDB recursive CTE
+    "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(t(s, dir, "documents"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), cap = 200)),
 
@@ -600,6 +603,23 @@ object SparkEntry {
                  FROM sh GROUP BY doc_id)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id""",
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i FROM d),
+         sh AS (SELECT doc_id, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS mh FROM ix),
+         sig AS (SELECT doc_id, MIN(substr(mh, 1, 8)) AS h1, MIN(substr(mh, 9, 8)) AS h2
+                 FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+                   FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
+         sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         reach(node, root) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+         )
+         SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster
+         FROM reach GROUP BY node""",
 
     "q_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS t

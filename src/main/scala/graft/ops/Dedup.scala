@@ -152,6 +152,59 @@ object Dedup {
       .agg(sigs.head, sigs.tail: _*)
   }
 
+  /**
+   * Connected components over an undirected pair graph — near-dup CLUSTERS:
+   * every document labeled with the smallest doc id reachable through
+   * candidate-pair edges (then "keep one per cluster" is a trivial groupBy).
+   *
+   * Iterative min-label propagation: each round joins labels to the
+   * symmetric edge list, takes the per-node neighborhood minimum, and
+   * stops as soon as a round changes nothing (component diameter bounds
+   * the round count; LSH near-dup clusters are shallow). Every round is
+   * `localCheckpoint`ed — lineage stays O(1) instead of growing by two
+   * joins per round, which is what kills iterative DataFrame jobs at
+   * scale. For web-scale graphs with deep components swap the inner step
+   * for the large-star/small-star rounds (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14) — same driver loop,
+   * same convergence check.
+   */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("cluster")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("cluster").as("nbr_cluster")), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nbr_cluster")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.select(col("node"), col("cluster").as("old")), Seq("node"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters of a documents table: LSH candidate pairs → connected
+    * components; singletons keep their own id as cluster. */
+  def nearDupClusters(documents: DataFrame, maxBucket: Int = 10000): DataFrame = {
+    val pairs = lshCandidatePairs(documents, maxBucket)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = documents.select(col("doc_id").as("node"))
+    connectedComponents(pairs, nodes)
+      .select(col("node").as("doc_id"), col("cluster"))
+  }
+
   /** N-gram (3-shingle-set) Jaccard similarity for candidate pairs within
     * the same lang, restricted to doc_id < cap (the quadratic demo is
     * bounded; the scale path is LSH above). */

@@ -59,6 +59,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => (p._1, p._2) == ((1L, 4L))))
   }
 
+  test("connected components: chains collapse to min id, singletons keep their own") {
+    // graph: 1-2-3-4 chain (diameter 3), 5-6 pair, 7 singleton, 8-9 + 9-10 triangle-ish
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (8L, 9L), (9L, 10L), (8L, 10L))
+      .toDF("a", "b")
+    val nodes = (1L to 10L).toDF("node")
+    val got = graft.ops.Dedup.connectedComponents(pairs, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
+  test("nearDupClusters groups exact/near duplicates via the LSH pair graph") {
+    val clusters = graft.ops.Dedup.nearDupClusters(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) === clusters(2L)) // exact dups share a cluster
+    assert(clusters(1L) === clusters(5L))
+    assert(clusters(4L) === 4L)           // unrelated doc is a singleton
+    assert(clusters.size === 5)
+  }
+
   test("winnowing fingerprints: shared substrings yield shared fingerprints") {
     import graft.ops.TextAnalysis.winnow
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"

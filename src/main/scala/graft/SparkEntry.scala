@@ -371,6 +371,8 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "q_hash_sample" -> ((s, dir) => TextAnalysis.hashSample(t(s, dir, "documents"))),
+    "q_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
     // winnowing (rolling-hash) fingerprint clusters: docs sharing substrings
     "q_winnow_clusters" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(s, t(s, dir, "documents").filter(col("doc_id") < 200))
@@ -704,6 +706,20 @@ object SparkEntry {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
          FROM documents""",
+
+    "q_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substr(md5(text), 1, 4) < '1999'""",
+
+    "q_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+         df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+         n AS (SELECT COUNT(*) AS n FROM documents)
+         SELECT doc_id, token, tf, df,
+           CAST(tf AS DOUBLE) * n.n / df AS score
+         FROM tf JOIN df USING (token), n
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) <= 3""",
 
     "q_media_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -59,32 +59,64 @@ object Lineage {
   }
 
   /**
-   * Iceberg-style snapshot manifest (SURVEY.md §4.3.4: no Iceberg jar in
-   * this environment, so table commits are recorded as a snapshot JSON per
-   * write listing data files with sizes + row count). Snapshots are
-   * numbered; the latest is the table's current state. If an
-   * iceberg-spark-runtime jar ever appears, this layer is replaced by a
-   * catalog config swap.
+   * Iceberg-style snapshot layer (SURVEY.md §4.3.4: no Iceberg jar in this
+   * environment, so the copy-on-write table contract is implemented
+   * directly). Each commit writes its data files into an immutable
+   * `<table>/snap-<id>/` directory and records a numbered snapshot JSON
+   * listing those files with sizes + row count. The latest snapshot is the
+   * table's current state; older snapshots stay readable — TIME TRAVEL via
+   * [[readSnapshot]]. If an iceberg-spark-runtime jar ever appears, this
+   * layer is replaced by a catalog config swap.
    */
-  def writeSnapshot(outDir: String, table: String, rowCount: Long): Int = {
-    val tableDir = Paths.get(outDir, table)
+  def nextSnapshotId(outDir: String, table: String): Int =
+    snapshots(outDir, table).map(_ + 1).getOrElse(0)
+
+  /** Directory a commit must write its data files into BEFORE committing. */
+  def snapshotDataDir(outDir: String, table: String, id: Int): String =
+    Paths.get(outDir, table, s"snap-$id").toString
+
+  /** Commit snapshot `id`: record the files under its data dir. */
+  def writeSnapshot(outDir: String, table: String, rowCount: Long, id: Int): Int = {
+    val dataDir = Paths.get(snapshotDataDir(outDir, table, id))
     val files =
-      if (Files.isDirectory(tableDir))
-        Files.list(tableDir).iterator().asScala
+      if (Files.isDirectory(dataDir))
+        Files.list(dataDir).iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .map(p => (p.getFileName.toString, Files.size(p)))
+          .map(p => (s"snap-$id/${p.getFileName.toString}", Files.size(p)))
           .toSeq.sortBy(_._1)
       else Seq.empty
     val manifestDir = Paths.get(outDir, "_manifest")
     Files.createDirectories(manifestDir)
-    val existing = snapshots(outDir, table)
-    val id = existing.map(_ + 1).getOrElse(0)
     val body =
       s"""{"table":"${table}","snapshot":$id,"rows":$rowCount,"files":[""" +
         files.map { case (n, s) => s"""{"name":"$n","bytes":$s}""" }.mkString(",") + "]}"
     Files.write(manifestDir.resolve(s"$table.snapshot-$id.json"),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     id
+  }
+
+  /** Data files recorded by snapshot `id` (absolute paths). */
+  def snapshotFiles(outDir: String, table: String, id: Int): Seq[String] = {
+    val p = Paths.get(outDir, "_manifest", s"$table.snapshot-$id.json")
+    require(Files.exists(p), s"no snapshot $id for table $table under $outDir")
+    val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+    "\"name\":\"([^\"]+)\"".r.findAllMatchIn(txt)
+      .map(m => Paths.get(outDir, table, m.group(1)).toString).toSeq
+  }
+
+  /** Time travel: read the table exactly as of snapshot `id`. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      table: String, id: Int): org.apache.spark.sql.DataFrame = {
+    val files = snapshotFiles(outDir, table, id)
+    if (files.isEmpty) spark.emptyDataFrame else spark.read.parquet(files: _*)
+  }
+
+  /** Current state: the latest committed snapshot. */
+  def readTable(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      table: String): org.apache.spark.sql.DataFrame = {
+    val id = snapshots(outDir, table)
+      .getOrElse(throw new IllegalStateException(s"table $table has no snapshots"))
+    readSnapshot(spark, outDir, table, id)
   }
 
   /** Latest snapshot id of a table, if any. */

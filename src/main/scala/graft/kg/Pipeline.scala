@@ -277,15 +277,22 @@ object Pipeline {
     }
 
     val raw = spark.read.parquet(s"$outDir/triples_raw")
-    val edges = dedupTriples(raw)
-    edges.write.mode("overwrite").parquet(s"$outDir/edges")
-    val nodeTable = nodes(raw)
-    nodeTable.write.mode("overwrite").parquet(s"$outDir/nodes")
-    val nTriples = spark.read.parquet(s"$outDir/edges").count()
-    val nNodes = spark.read.parquet(s"$outDir/nodes").count()
+    // graph materialize: copy-on-write snapshot commit — data files land in
+    // an immutable snap-<id>/ dir, the manifest records them, and every
+    // prior snapshot stays readable (Lineage.readSnapshot time travel)
+    val edgeSnap = Lineage.nextSnapshotId(outDir, "edges")
+    val nodeSnap = Lineage.nextSnapshotId(outDir, "nodes")
+    dedupTriples(raw).write.mode("overwrite")
+      .parquet(Lineage.snapshotDataDir(outDir, "edges", edgeSnap))
+    nodes(raw).write.mode("overwrite")
+      .parquet(Lineage.snapshotDataDir(outDir, "nodes", nodeSnap))
+    val nTriples = spark.read
+      .parquet(Lineage.snapshotDataDir(outDir, "edges", edgeSnap)).count()
+    val nNodes = spark.read
+      .parquet(Lineage.snapshotDataDir(outDir, "nodes", nodeSnap)).count()
     Lineage.append(outDir, "graph", Seq(Lineage.BucketRecord(-1, nTriples, errorAcc.value)))
-    Lineage.writeSnapshot(outDir, "edges", nTriples)
-    Lineage.writeSnapshot(outDir, "nodes", nNodes)
+    Lineage.writeSnapshot(outDir, "edges", nTriples, edgeSnap)
+    Lineage.writeSnapshot(outDir, "nodes", nNodes, nodeSnap)
     RunReport(remainingBuckets, done.toSeq.sorted, nTriples, nNodes, errorAcc.value)
   }
 

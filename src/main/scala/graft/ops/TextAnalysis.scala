@@ -119,4 +119,34 @@ object TextAnalysis {
       .flatMap { case (id, text) => winnow(text, k, w).map(id -> _) }
       .toDF("doc_id", "fingerprint")
   }
+
+  /** Deterministic content-hash sampling — the reproducible alternative to
+    * rand() for carving held-out / subsample splits from a 100 TB corpus:
+    * keep rows whose md5(text) hex prefix sorts below `hexBound`
+    * (rate = value(hexBound) / 16^len; e.g. "1999" ≈ 10%). Pure narrow
+    * filter, pushes to the scan, identical on any cluster size or engine. */
+  def hashSample(documents: DataFrame, hexBound: String = "1999"): DataFrame =
+    documents
+      .filter(substring(md5(col("text")), 1, hexBound.length) < lit(hexBound))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** TF-IDF top-k terms per document. The idf is the DIVISION-EXACT form
+    * score = tf · N / df (products of exact ints in double, one IEEE
+    * division — bit-identical across engines, unlike ln-based idf whose
+    * libm rounding differs). Two shuffles (tf groupBy, df groupBy) + a
+    * token-keyed join + a per-document ranking window — every stage keyed
+    * and distributed; nothing global. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val n = documents.count() // one scalar (scan count) — metadata-sized
+    val tok = documents.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .withColumn("score", col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"))
+  }
 }

@@ -85,8 +85,8 @@ class PipelineSpec extends AnyFunSuite {
       val resumed = Pipeline.runCheckpointed(spark, pages, dir, buckets = 8)
       assert(resumed.bucketsProcessed === Seq(5, 6, 7))
       assert(resumed.triples === full.triples)
-      val edges = tripleSet(spark.read.parquet(s"$dir/edges"))
-      val expected = tripleSet(spark.read.parquet(s"$fullDir/edges"))
+      val edges = tripleSet(Lineage.readTable(spark, dir, "edges"))
+      val expected = tripleSet(Lineage.readTable(spark, fullDir, "edges"))
       assert(edges === expected)
     } finally { Lineage.deleteRecursively(dir); Lineage.deleteRecursively(fullDir) }
   }
@@ -107,9 +107,41 @@ class PipelineSpec extends AnyFunSuite {
         java.nio.file.Paths.get(dir, "_manifest", "edges.snapshot-0.json")), "UTF-8")
       assert(snap.contains(s""""rows":${r.triples}"""))
       assert(snap.contains(".parquet"))
-      // a second commit advances the snapshot id
+      // a second commit advances the snapshot id; BOTH snapshots stay
+      // readable (copy-on-write time travel), and current == latest
       Pipeline.runCheckpointed(spark, pages, dir, buckets = 4)
       assert(Lineage.snapshots(dir, "edges") === Some(1))
+      val snap0 = tripleSet(Lineage.readSnapshot(spark, dir, "edges", 0))
+      val snap1 = tripleSet(Lineage.readSnapshot(spark, dir, "edges", 1))
+      val current = tripleSet(Lineage.readTable(spark, dir, "edges"))
+      assert(snap0 === snap1) // same input corpus → same graph
+      assert(current === snap1)
+      assert(snap0.nonEmpty)
+    } finally Lineage.deleteRecursively(dir)
+  }
+
+  test("snapshot time travel: an overwritten table's history stays readable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tt").toString
+    try {
+      // commit 1: three rows
+      val id0 = Lineage.nextSnapshotId(dir, "t")
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .write.parquet(Lineage.snapshotDataDir(dir, "t", id0))
+      Lineage.writeSnapshot(dir, "t", 3, id0)
+      // commit 2: different content
+      val id1 = Lineage.nextSnapshotId(dir, "t")
+      Seq((9L, "z")).toDF("k", "v")
+        .write.parquet(Lineage.snapshotDataDir(dir, "t", id1))
+      Lineage.writeSnapshot(dir, "t", 1, id1)
+      assert(id0 === 0 && id1 === 1)
+      val s0 = Lineage.readSnapshot(spark, dir, "t", 0)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val s1 = Lineage.readTable(spark, dir, "t")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(s0 === Set((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(s1 === Set((9L, "z")))
+      assertThrows[IllegalArgumentException](Lineage.snapshotFiles(dir, "t", 7))
     } finally Lineage.deleteRecursively(dir)
   }
 

@@ -92,10 +92,11 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val pages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "800000").toLong
-    // default pair 4→16: the CPU-bound regime on this 32-vCPU box (8→32
-    // saturates shared DRAM bandwidth — see BASELINE.md)
-    val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "4").toInt
-    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "16").toInt
+    // default pair 2→8: the CPU-bound regime on this 32-vCPU box after the
+    // scanner extractor halved per-page compute (4→16 and 8→32 saturate
+    // shared DRAM bandwidth — a one-box artifact, see BASELINE.md)
+    val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "2").toInt
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "8").toInt
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     // alternate levels across repeated trials and take the per-level MIN —
     // robust to the sandbox's bursty background load; min wall-clock is the

@@ -82,6 +82,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(agree.toDouble / knn.length >= 0.8, s"$agree/${knn.length} top-1 agreement")
   }
 
+  test("annCandidatePairs bucket cap bounds in-bucket expansion") {
+    // 40 identical vectors: every band puts all of them in one bucket;
+    // cap 5 keeps the 5 smallest ids → C(5,2)=10 pairs, never C(40,2)
+    val rows = (0L until 40L).map(i => (i, Array.fill(8)(0.5f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val capped = graft.ops.Similarity
+      .annCandidatePairs(emb, minCosine = 0.9, maxBucket = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === (for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)).toSet)
+  }
+
   test("minhash64: identical docs identical sigs; jaccard estimate sane; k respected") {
     def doc(id: Long, text: String) = (id, text, "en")
     // two docs sharing ~half their 3-shingles

@@ -68,9 +68,10 @@ object SparkEntry {
       result.log.toDF()
     }),
 
-    // FULL-model training (the reference's actual training surface):
-    // BPTT through embeddings+LSTM+readout, one treeAggregate per epoch,
-    // gradient kernel finite-difference-checked (BackpropSpec)
+    // FULL-model training (the reference's actual training surface,
+    // rmsprop + clipnorm=25 per models.py:27): BPTT through
+    // embeddings+LSTM+readout, one treeAggregate per epoch, gradient
+    // kernel finite-difference-checked (BackpropSpec)
     "kg_train_full" -> ((s, _) => {
       import s.implicits._
       val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
@@ -78,7 +79,7 @@ object SparkEntry {
         s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
       val devSeq = graft.kg.Trainer.extractSequences(s,
         s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
-      graft.kg.Trainer.trainFull(s, trainSeq, devSeq, bundleBc, epochs = 5, lr = 1.0)
+      graft.kg.Trainer.trainFull(s, trainSeq, devSeq, bundleBc, epochs = 5)
         .log.toDF()
     }),
 

@@ -75,10 +75,13 @@ object Trainer {
   final case class FullTrainResult(weights: ScorerWeights, log: Seq[EpochMetrics], bestEpoch: Int)
 
   /**
-   * FULL-model training: backprop through embeddings + LSTM + readout (the
-   * reference's actual training surface — train.py compiles the whole Keras
-   * graph with rmsprop over filtered cross-entropy; we use full-batch
-   * gradient descent, deterministic by construction). Each epoch is ONE
+   * FULL-model training: backprop through embeddings + LSTM + readout —
+   * the reference's actual training surface, optimizer included: rmsprop
+   * with global-norm clipping at 25 over filtered cross-entropy
+   * (models.py:27 `rmsprop(lr=config.lr, clipnorm=25.)`; Keras-0.x rmsprop
+   * defaults rho=0.9, eps=1e-6), full-batch and deterministic by
+   * construction (`optimizer = "sgd"` selects plain gradient descent).
+   * Each epoch is ONE
    * `treeAggregate` over the cached sequences; the flat gradient vector is
    * the whole model (~10^4 params, ~80 KB) regardless of corpus size —
    * executors do all the BPTT work in parallel, the driver applies the step.
@@ -86,9 +89,10 @@ object Trainer {
    * dev F1 > 0.3, best weights restored — train.py:95-103).
    */
   def trainFull(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
-      bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.5,
+      bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       logPath: Option[String] = None,
-      experimentDir: Option[(String, String)] = None): FullTrainResult = {
+      experimentDir: Option[(String, String)] = None,
+      optimizer: String = "rmsprop", clipNorm: Double = 25.0): FullTrainResult = {
     val b = bundleBc.value
     val layout = Backprop.layoutOf(b.weights)
     val retain = (1f - b.weights.dropout).toDouble
@@ -130,6 +134,12 @@ object Trainer {
 
     val log = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
     var best: Option[(Int, Double, Array[Double])] = None
+    // rmsprop cache (E[g^2]), driver-resident — the reference compiles the
+    // whole graph with rmsprop(lr, clipnorm=25.) (models.py:27); Keras-0.x
+    // defaults rho=0.9, epsilon=1e-6
+    val rho = 0.9
+    val eps = 1e-6
+    val cache = new Array[Double](layout.total)
 
     for (epoch <- 1 to epochs) {
       val bc = spark.sparkContext.broadcast(flat)
@@ -145,9 +155,25 @@ object Trainer {
           while (i < g1.length) { g1(i) += g2(i); i += 1 }
           (g1, l1 + l2) })
       bc.destroy()
-      val next = new Array[Double](layout.total)
+      // mean gradient, then clipnorm (global L2, Keras semantics): if
+      // ||g|| > c, g *= c/||g||
+      var norm2 = 0.0
       var i = 0
-      while (i < next.length) { next(i) = flat(i) - lr * grad(i) / nTrain; i += 1 }
+      while (i < grad.length) { grad(i) /= nTrain; norm2 += grad(i) * grad(i); i += 1 }
+      val norm = math.sqrt(norm2)
+      val scale = if (clipNorm > 0 && norm > clipNorm) clipNorm / norm else 1.0
+      val next = new Array[Double](layout.total)
+      i = 0
+      if (optimizer == "rmsprop") {
+        while (i < next.length) {
+          val g = grad(i) * scale
+          cache(i) = rho * cache(i) + (1 - rho) * g * g
+          next(i) = flat(i) - lr * g / (math.sqrt(cache(i)) + eps)
+          i += 1
+        }
+      } else { // plain full-batch gradient descent
+        while (i < next.length) { next(i) = flat(i) - lr * grad(i) * scale; i += 1 }
+      }
       flat = next
       val (p, rc, f1, acc) = devMetrics(flat)
       val m = EpochMetrics(epoch, loss / nTrain, p, rc, f1, acc)
@@ -173,7 +199,9 @@ object Trainer {
     experimentDir.foreach { case (root, name) =>
       Experiments.save(root, name, b, weights,
         extras = Map("best_epoch" -> bestEpoch.toString,
-          "epochs" -> epochs.toString, "lr" -> lr.toString, "mode" -> "full"))
+          "epochs" -> epochs.toString, "lr" -> lr.toString,
+          "optimizer" -> optimizer, "clipnorm" -> clipNorm.toString,
+          "mode" -> "full"))
     }
     FullTrainResult(weights, log.toSeq, bestEpoch)
   }

@@ -75,7 +75,7 @@ class TrainerSpec extends AnyFunSuite {
     val devEx = spark.range(400, 520).map(i => Gen.labeledExample(42L, i))
     val tf = Trainer.extractSequences(spark, trainEx, bundleBc)
     val df = Trainer.extractSequences(spark, devEx, bundleBc)
-    val r1 = Trainer.trainFull(spark, tf, df, bundleBc, epochs = 6, lr = 1.0)
+    val r1 = Trainer.trainFull(spark, tf, df, bundleBc, epochs = 6)
     info(r1.log.map(m => f"epoch ${m.epoch}: loss ${m.trainLoss}%.4f acc ${m.devAccuracy}%.3f").mkString("; "))
     assert(r1.log.length === 6)
     assert(r1.log.last.trainLoss < r1.log.head.trainLoss,
@@ -85,7 +85,7 @@ class TrainerSpec extends AnyFunSuite {
     assert(r1.weights.embedding.flatten.toSeq !== w0.embedding.flatten.toSeq)
     assert(r1.weights.uC.flatten.toSeq !== w0.uC.flatten.toSeq)
     assert(r1.weights.dense.flatten.toSeq !== w0.dense.flatten.toSeq)
-    val r2 = Trainer.trainFull(spark, tf, df, bundleBc, epochs = 6, lr = 1.0)
+    val r2 = Trainer.trainFull(spark, tf, df, bundleBc, epochs = 6)
     assert(r1.weights.denseB.toSeq === r2.weights.denseB.toSeq)
     assert(r1.weights.embedding.flatten.toSeq === r2.weights.embedding.flatten.toSeq)
     r1.log.zip(r2.log).foreach { case (a, b) =>

@@ -341,6 +341,16 @@ object SparkEntry {
     // near-dup clusters: LSH pairs → connected components (min-label
     // propagation); exact oracle via DuckDB recursive CTE
     "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(t(s, dir, "documents"))),
+    // graph components over the customer–order bipartite graph via
+    // large-star/small-star (the O(log n)-round deep-graph algorithm)
+    "q_graph_components" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val pairs = o.select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("o_orderkey").cast("long") * 2 + 1).as("b"))
+      val nodes = pairs.select(col("a").as("node"))
+        .unionByName(pairs.select(col("b").as("node"))).distinct()
+      Dedup.connectedComponentsStar(pairs, nodes)
+    }),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), cap = 200)),
 
@@ -373,6 +383,8 @@ object SparkEntry {
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "q_hash_sample" -> ((s, dir) => TextAnalysis.hashSample(t(s, dir, "documents"))),
+    // KMV distinct sketch: k smallest distinct token hashes → estimate
+    "q_kmv_distinct" -> ((s, dir) => TextAnalysis.kmvDistinctTokens(t(s, dir, "documents"))),
     "q_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
     // winnowing (rolling-hash) fingerprint clusters: docs sharing substrings
     "q_winnow_clusters" -> ((s, dir) =>
@@ -624,6 +636,18 @@ object SparkEntry {
          SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster
          FROM reach GROUP BY node""",
 
+    "q_graph_components" ->
+      """WITH RECURSIVE e AS (SELECT CAST(o_custkey AS BIGINT)*2 AS a,
+                                     CAST(o_orderkey AS BIGINT)*2+1 AS b FROM orders),
+         n AS (SELECT DISTINCT a AS node FROM e UNION SELECT DISTINCT b FROM e),
+         sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(node, root) AS (
+           SELECT node, node FROM n
+           UNION
+           SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node)
+         SELECT node, CAST(MIN(root) AS BIGINT) AS cluster
+         FROM reach GROUP BY node""",
+
     "q_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS t
                        FROM documents WHERE doc_id < 200),
@@ -711,6 +735,15 @@ object SparkEntry {
     "q_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE substr(md5(text), 1, 4) < '1999'""",
+
+    "q_kmv_distinct" ->
+      """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+         mins AS (SELECT DISTINCT md5(token) AS h FROM tok ORDER BY h LIMIT 256)
+         SELECT COUNT(*) AS k_used, MAX(h) AS kth,
+           CAST(COUNT(*) - 1 AS DOUBLE) * 4294967296.0 /
+             CAST(CAST('0x' || substr(MAX(h), 1, 8) AS BIGINT) AS DOUBLE)
+           AS distinct_estimate
+         FROM mins""",
 
     "q_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /**
  * Text-analysis operators for training-data curation over `documents`.
@@ -148,5 +149,41 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch over the corpus token
+    * set — the mergeable sketch form of COUNT(DISTINCT): keep the k
+    * smallest hash values; with the k-th smallest mapped to a fraction
+    * f of the hash space, distinct ≈ (k-1)/f (Bar-Yossef et al. 2002).
+    * One top-k over hashes (map-side partial min-k via the sort+limit
+    * plan), no global distinct shuffle — at web scale this replaces an
+    * exact count over billions of tokens with k rows. Deterministic: the
+    * hash is md5, the fraction is derived from its leading 8 hex chars as
+    * an exact integer, so the DuckDB oracle matches bit-for-bit (unlike
+    * HLL sketches, whose register layouts differ across engines). */
+  def kmvDistinctTokens(documents: DataFrame, k: Int = 256): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // bounded per-partition k-min sets (narrow, O(k) memory per task) —
+    // only <= k hashes per partition ever reach the tiny final merge; no
+    // shuffle is proportional to the corpus or its vocabulary
+    val localMins = documents
+      .select(explode(toks(col("text"))).as("token"))
+      .select(md5(col("token")).as("h")).as[String]
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[String]()
+        it.foreach { h =>
+          if (set.size < k) set.add(h)
+          else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+        }
+        set.iterator().asScala
+      }(org.apache.spark.sql.Encoders.STRING).toDF("h")
+    val sketch = localMins.distinct().orderBy(col("h").asc).limit(k)
+    // k-th smallest hash -> fraction of the leading 32-bit hash space
+    sketch.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"))
+      .select(col("k_used"), col("kth"),
+        ((col("k_used") - 1).cast("double") * lit(4294967296.0) /
+          conv(substring(col("kth"), 1, 8), 16, 10).cast("double"))
+          .as("distinct_estimate"))
   }
 }

@@ -110,6 +110,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sig(1L).distinct.size > k / 2, "slots must be independent hashes")
   }
 
+  test("large-star/small-star CC equals min-label propagation on random graphs") {
+    val rng = new Gen.Rng(99L)
+    (1 to 5).foreach { _ =>
+      val n = 60
+      val pairs = (0 until 80).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).toDF("a", "b")
+      val nodes = (0L until n.toLong).toDF("node")
+      val star = graft.ops.Dedup.connectedComponentsStar(pairs, nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = graft.ops.Dedup.connectedComponents(pairs, nodes, maxIter = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop)
+    }
+  }
+
+  test("star CC collapses a 200-node chain in O(log n) rounds (the deep-graph path)") {
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L until 200L).toDF("node")
+    // min-label propagation needs ~200 (diameter) rounds; star needs ~log n
+    val star = graft.ops.Dedup.connectedComponentsStar(pairs, nodes, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.values.toSet === Set(0L), "every chain node must label to 0")
+    val prop = graft.ops.Dedup.connectedComponents(pairs, nodes, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop.values.toSet !== Set(0L),
+      "diameter-bound propagation cannot finish a 200-chain in 15 rounds")
+  }
+
+  test("KMV sketch estimates distinct tokens within ~3/sqrt(k) at k=256") {
+    // 4000 distinct tokens spread over 40 docs, every token repeated twice
+    val docs = (0 until 40).map { d =>
+      val toks = (0 until 100).flatMap(i => Seq(s"tok_${d}_$i", s"tok_${d}_$i"))
+      (d.toLong, toks.mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val row = graft.ops.TextAnalysis.kmvDistinctTokens(docs, k = 256).head()
+    assert(row.getLong(0) === 256L)
+    val est = row.getDouble(2)
+    assert(math.abs(est - 4000.0) / 4000.0 < 0.2, s"KMV estimate $est for 4000 distinct")
+    // deterministic across runs
+    val again = graft.ops.TextAnalysis.kmvDistinctTokens(docs, k = 256).head()
+    assert(again.getDouble(2) === est && again.getString(1) === row.getString(1))
+  }
+
   test("simhashPairs bucket cap bounds in-bucket expansion") {
     val rows = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta", "en"))
     val d = rows.toDF("doc_id", "text", "lang")

@@ -401,6 +401,20 @@ object SparkEntry {
     "q_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.extractMeta(s, Multimodal.mediaTable(t(s, dir, "documents"))))),
+    // resize planning (letterbox math) over decoded dims
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.extractMeta(s, Multimodal.mediaTable(t(s, dir, "documents"))))),
+    // per-frame fake-embedding extraction: the multimodal → vector bridge
+    // into the ANN operators (real plumbing, stubbed vector math)
+    "q_media_features" -> ((s, dir) => {
+      val meta = Multimodal.extractMeta(s, Multimodal.mediaTable(t(s, dir, "documents")))
+      Multimodal.frameFeatures(s, Multimodal.sampleFrames(meta), meta)
+        .select(col("doc_id"), col("frame_idx"),
+          round(element_at(col("embedding").cast("array<double>"), 1), 6).as("e0"),
+          round(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+            (acc, x) => acc + x), 6).as("e_sum"))
+    }),
 
     // ---- streaming --------------------------------------------------------------------
     "q_stream_window" -> ((s, dir) =>

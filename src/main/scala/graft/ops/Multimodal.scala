@@ -61,4 +61,44 @@ object Multimodal {
   def sampleFrames(meta: DataFrame, stride: Int = 10): DataFrame =
     meta.select(col("doc_id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Aspect-preserving resize PLANNING (the letterbox math every image
+    * preprocessing pipeline runs before the pixel op): scale =
+    * min(maxW/w, maxH/h) capped at 1.0 (never upscale), output dims
+    * floored. Pure codegen'd projection; the pixel resample itself is the
+    * codec-side stub. */
+  def resizePlan(meta: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width").cast("double"),
+      lit(maxH.toDouble) / col("height").cast("double"),
+      lit(1.0))
+    meta.select(col("doc_id"), col("width"), col("height"),
+      round(scale, 6).as("scale"),
+      floor(col("width") * scale).cast("int").as("out_w"),
+      floor(col("height") * scale).cast("int").as("out_h"))
+  }
+
+  /** Per-frame feature extraction (the CNN-embedding stand-in): a
+    * deterministic fake vector seeded by (content_md5, frame_idx) — the
+    * real system swaps ONLY the vector computation; the batch-shaped
+    * kernel, schema (`array<float>` + ids), and downstream compatibility
+    * with the Similarity ANN operators are the real, tested plumbing.
+    * Identical payloads yield identical features, so multimodal near-dups
+    * surface through [[graft.ops.Similarity.annCandidatePairs]]. */
+  def frameFeatures(spark: SparkSession, frames: DataFrame, meta: DataFrame,
+      dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    frames.join(meta.select(col("doc_id"), col("content_md5")), Seq("doc_id"))
+      .select(col("doc_id"), col("frame_idx"), col("content_md5"))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        it.map { case (id, frame, md5hex) =>
+          // FAKE EMBEDDING: seeded by content hash + frame index
+          var h = java.lang.Long.parseUnsignedLong(md5hex.substring(0, 16), 16) ^
+            (frame.toLong * 0x9E3779B97F4A7C15L)
+          val rng = new graft.kg.Gen.Rng(h)
+          (id, frame, Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+        }
+      }.toDF("doc_id", "frame_idx", "embedding")
+  }
 }

@@ -154,6 +154,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(again.getDouble(2) === est && again.getString(1) === row.getString(1))
   }
 
+  test("multimodal → ANN bridge: duplicate payloads surface as near-dup frame pairs") {
+    val docs = Seq(
+      (1L, "identical media payload content here", "en"),
+      (2L, "identical media payload content here", "en"), // same payload as 1
+      (3L, "a completely different media payload", "en")
+    ).toDF("doc_id", "text", "lang")
+    val meta = graft.ops.Multimodal.extractMeta(spark, graft.ops.Multimodal.mediaTable(docs))
+    // resize planning: aspect preserved, never upscaled beyond 1.0
+    val rp = graft.ops.Multimodal.resizePlan(meta, 224, 224).collect()
+    rp.foreach { r =>
+      val (w, h, scale, ow, oh) =
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4), r.getInt(5))
+      assert(scale <= 1.0 && ow <= 224 && oh <= 224)
+      assert(math.abs(ow.toDouble / w - oh.toDouble / h) < 0.02, "aspect preserved")
+    }
+    val frames = graft.ops.Multimodal.sampleFrames(meta)
+    val feats = graft.ops.Multimodal.frameFeatures(spark, frames, meta)
+      .withColumn("vec_id", col("doc_id") * 1000 + col("frame_idx"))
+    val pairs = graft.ops.Similarity
+      .annCandidatePairs(feats.select(col("vec_id"), col("embedding")), minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "identical payloads must produce identical frame features")
+    assert(pairs.forall { case (a, b) => a % 1000 == b % 1000 && a / 1000 == 1 && b / 1000 == 2 },
+      s"only docs 1 and 2 share frames: ${pairs.toSeq}")
+  }
+
   test("simhashPairs bucket cap bounds in-bucket expansion") {
     val rows = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta", "en"))
     val d = rows.toDF("doc_id", "text", "lang")

@@ -145,8 +145,14 @@ object Evaluate {
       val accuracy =
         if (accRow.getLong(1) == 0) 0.0 else accRow.getLong(0).toDouble / accRow.getLong(1)
       val perRel = Metrics.perRelationReport(scored, "pred", "targ")
+      // wrong-example debug dump: the reference's retrieve_wrong_examples
+      // fields (plot_utils.py:80-96 — pred, targ, sentence, subj, obj,
+      // sequence length) realized as columns
       val wrongs = scored.filter(col("pred") =!= col("targ"))
-        .select(col("id"), col("targ"), col("pred"), col("confidence"), col("words"))
+        .select(col("id"), col("targ"), col("pred"), col("confidence"),
+          array_join(col("words"), " ").as("sentence"),
+          col("subjectId").as("subj"), col("objectId").as("obj"),
+          col("length"))
       scoresPath.foreach(p => Metrics.writeScoresJson(p, Map(
         "precision" -> micro.precision, "recall" -> micro.recall,
         "f1" -> micro.f1, "accuracy" -> accuracy)))

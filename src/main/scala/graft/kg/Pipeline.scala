@@ -83,6 +83,15 @@ object Pipeline {
         val scorer = new Scorer(b.weights, b.typechecker)
         val gazIndex = new Segment.GazetteerIndex(b.gazetteer) // once per task
         val noRelId = b.rel("no_relation")
+        // Boilerplate collapse: after entity blanking + digit zeroing, web
+        // sentences repeat heavily (templates, navigation, legal footers),
+        // and predict() is a PURE function of (sequence, nerPair) — so a
+        // bounded per-task exact-match memo skips the LSTM for repeats.
+        // Output is bit-identical (golden gate + content pins enforce it);
+        // a diverse corpus simply misses the cache. Cleared when full —
+        // O(capacity) memory, no eviction bookkeeping on the hot path.
+        val memoCap = 1 << 16
+        val memo = new java.util.HashMap[ScoreKey, (Int, Double)](4096)
         it.flatMap { case (url, html) =>
           val text = TextExtract.extract(html) // north-rule extraction stage
           Segment.sentences(text).zipWithIndex.flatMap { case (sent, sentIdx) =>
@@ -99,7 +108,14 @@ object Pipeline {
               Segment.candidatePairs(mentions).flatMap { case (s, o) =>
                 try {
                   val (seq, sNer, oNer) = blankedSequence(words, wordIds, s, o, b)
-                  val (relId, conf) = scorer.predict(seq, sNer, oNer)
+                  val key = new ScoreKey(seq, sNer, oNer)
+                  var scored = memo.get(key)
+                  if (scored == null) {
+                    scored = scorer.predict(seq, sNer, oNer)
+                    if (memo.size >= memoCap) memo.clear()
+                    memo.put(key, scored)
+                  }
+                  val (relId, conf) = scored
                   if (relId == noRelId) None
                   else Some(ScoredPair(url, sentIdx, s.surface, s.ner, o.surface, o.ner,
                     b.rel.index2word(relId), conf))
@@ -112,6 +128,16 @@ object Pipeline {
           }
         }
       }
+  }
+
+  /** Memo key for the scoring cache: featurized sequence + NER pair. */
+  private final class ScoreKey(val seq: Array[Int], val s: Int, val o: Int) {
+    override val hashCode: Int =
+      (java.util.Arrays.hashCode(seq) * 31 + s) * 31 + o
+    override def equals(that: Any): Boolean = that match {
+      case k: ScoreKey => k.s == s && k.o == o && java.util.Arrays.equals(k.seq, seq)
+      case _ => false
+    }
   }
 
   /** Allocation-light sent-model featurization for the fused kernel:

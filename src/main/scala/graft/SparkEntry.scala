@@ -425,6 +425,15 @@ object SparkEntry {
     // stateful streaming dedup (watermark-bounded state)
     "q_stream_dedup" -> ((s, dir) => Streaming.streamingDedup(s, s"$dir/events.parquet")),
 
+    // streaming KG construction end to end: pages stream → score + link per
+    // micro-batch → raw sink → batch dedup (batch-boundary independent)
+    "kg_stream_triples" -> ((s, _) => {
+      val pagesDir = java.nio.file.Files.createTempDirectory("graft-stream-pages").toString
+      Pipeline.generatePages(s, 100, withText = true)
+        .write.mode("overwrite").parquet(pagesDir)
+      Streaming.streamingKgTriples(s, pagesDir, Pipeline.buildBundle())
+    }),
+
     // J1: vocab lookup as a left join with UNK fallback (id 0)
     "q_vocab_lookup_join" -> ((s, dir) => {
       val tok = t(s, dir, "documents")

@@ -101,4 +101,34 @@ object Streaming {
     q.stop()
     results.toSeq
   }
+
+  /** Streaming KG construction end to end: a pages STREAM runs the fused
+    * scoring kernel + broadcast entity linking per micro-batch, appends raw
+    * linked triples to a file sink, and the final graph is the batch dedup
+    * over everything the stream produced — so the emitted triple set is
+    * INDEPENDENT of how the source files split into micro-batches (max
+    * confidence and support aggregate over the union; asserted equal to the
+    * batch pipeline in PipelineSpec). This is the production shape: stream
+    * → raw append-only table → periodic compaction/dedup. */
+  def streamingKgTriples(spark: SparkSession, pagesDir: String,
+      bundle: graft.kg.Pipeline.ScoringBundle): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-kg").toString
+    val schema = spark.read.parquet(pagesDir).schema
+    val bundleBc = spark.sparkContext.broadcast(bundle)
+    val dict = graft.kg.Pipeline.entityDict(spark)
+    val q = spark.readStream.schema(schema).parquet(pagesDir)
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val pages = batch.as[graft.kg.Page]
+        val scored = graft.kg.Pipeline.scorePages(pages.sparkSession, pages, bundleBc)
+        graft.kg.Pipeline.linkBroadcast(scored, dict)
+          .write.mode("append").parquet(s"$out/raw")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.kg.Pipeline.dedupTriples(spark.read.parquet(s"$out/raw"))
+  }
 }

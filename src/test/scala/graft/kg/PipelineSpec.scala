@@ -168,6 +168,20 @@ class PipelineSpec extends AnyFunSuite {
     } finally Lineage.deleteRecursively(dir)
   }
 
+  test("streaming KG construction emits exactly the batch pipeline's triples") {
+    val dir = Files.createTempDirectory("graft-stream-eq").toString
+    try {
+      Pipeline.generatePages(spark, 80, withText = true)
+        .write.mode("overwrite").parquet(dir)
+      val streamed = tripleSet(
+        graft.ops.Streaming.streamingKgTriples(spark, dir, Pipeline.buildBundle()))
+      val batch = tripleSet(
+        Pipeline.extractTriples(spark, Pipeline.generatePages(spark, 80)))
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally Lineage.deleteRecursively(dir)
+  }
+
   test("triple P/R vs frozen reference extractions >= 0.95 (BASELINE gate)") {
     val goldenPath = getClass.getResource("/golden_triples.tsv")
     assume(goldenPath != null, "golden fixture not yet generated — run graft.kg.GoldenGen")

@@ -367,6 +367,13 @@ object SparkEntry {
         .getSeq[Float](0).toArray
       Similarity.lshCosineTopK(e.filter(col("vec_id") =!= 0), q, 10)
     }),
+    // IVF index family: k-means coarse quantizer, nprobe-list search
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      Similarity.ivfCosineTopK(e.filter(col("vec_id") =!= 0), q, 10)
+    }),
     "q_nn_join" -> ((s, dir) => Similarity.nearestNeighborJoin(t(s, dir, "embeddings"), 100)),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 150, 0.3)),
@@ -385,6 +392,8 @@ object SparkEntry {
     "q_hash_sample" -> ((s, dir) => TextAnalysis.hashSample(t(s, dir, "documents"))),
     // KMV distinct sketch: k smallest distinct token hashes → estimate
     "q_kmv_distinct" -> ((s, dir) => TextAnalysis.kmvDistinctTokens(t(s, dir, "documents"))),
+    // composed curation pipeline: lang filter → quality gates → near-dup drop
+    "q_curation_pipeline" -> ((s, dir) => TextAnalysis.curationPipeline(t(s, dir, "documents"))),
     "q_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
     // winnowing (rolling-hash) fingerprint clusters: docs sharing substrings
     "q_winnow_clusters" -> ((s, dir) =>
@@ -758,6 +767,41 @@ object SparkEntry {
     "q_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE substr(md5(text), 1, 4) < '1999'""",
+
+    "q_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         h AS (SELECT doc_id,
+           len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS h_en,
+           len(list_filter(tk, x -> x IN ('el','la','de','y','que'))) AS h_es,
+           len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+           len(list_filter(tk, x -> x IN ('le','la','de','et','est'))) AS h_fr,
+           len(list_filter(tk, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS h_zh,
+           len(tk) AS n_tokens,
+           len(list_filter(tk, x -> x IN ('the','a','of','and','to','el','la','de','y','que',
+             'der','die','das','und','ist','le','et','est','de5','shi4','le5','zai4','he2')))
+             AS stop_hits
+           FROM t),
+         b AS (SELECT doc_id, n_tokens, stop_hits,
+           GREATEST(h_en, h_es, h_de, h_fr, h_zh) AS best,
+           CASE WHEN GREATEST(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+                WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+                WHEN h_de = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+                WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_guess FROM h),
+         d2 AS (SELECT doc_id, string_split(text, ' ') AS t2 FROM documents),
+         ix AS (SELECT doc_id, t2, UNNEST(generate_series(1, len(t2) - 2)) AS i FROM d2),
+         sh AS (SELECT doc_id, md5(t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2]) AS mh FROM ix),
+         sig AS (SELECT doc_id, MIN(substr(mh, 1, 8)) AS h1, MIN(substr(mh, 9, 8)) AS h2
+                 FROM sh GROUP BY doc_id),
+         losers AS (SELECT DISTINCT b2.doc_id FROM sig a JOIN sig b2
+                    ON a.h1 = b2.h1 AND a.h2 = b2.h2 AND a.doc_id < b2.doc_id)
+         SELECT doc_id, lang_guess, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+         FROM b
+         WHERE lang_guess = 'en' AND n_tokens >= 8
+           AND CAST(stop_hits AS DOUBLE) / n_tokens >= 0.05
+           AND doc_id NOT IN (SELECT doc_id FROM losers)""",
 
     "q_kmv_distinct" ->
       """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),

@@ -146,6 +146,96 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"), col("rn").cast("long").as("rn"))
   }
 
+  /**
+   * IVF coarse quantizer: deterministic Lloyd k-means over the corpus
+   * (init = the `nlist` smallest vec_ids — data-dependent but replayable;
+   * each iteration is ONE treeAggregate of per-centroid (sum, count), so
+   * driver↔executor traffic is nlist×dim doubles regardless of corpus
+   * size). Returns the centroid table; at scale it is computed once per
+   * index build, and vectors are written PARTITIONED by their list id so a
+   * query's `nprobe` lists prune to `nprobe` partitions at the scan.
+   */
+  def ivfCentroids(embeddings: DataFrame, nlist: Int = 8, iters: Int = 5): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = asDouble(embeddings).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Double])].cache()
+    var centroids = vecs.orderBy(col("vec_id").asc).limit(nlist)
+      .collect().map(_._2)
+    val dim = centroids(0).length
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val zero = (Array.ofDim[Double](nlist * dim), new Array[Long](nlist))
+      val (sums, counts) = vecs.rdd.treeAggregate(zero)(
+        seqOp = { case ((s, n), (_, v)) =>
+          val c = nearestCentroid(v, bc.value)
+          var d = 0
+          while (d < dim) { s(c * dim + d) += v(d); d += 1 }
+          n(c) += 1
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < n1.length) { n1(i) += n2(i); i += 1 }
+          (s1, n1)
+        })
+      bc.destroy()
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else Array.tabulate(dim)(d => sums(c * dim + d) / counts(c)))
+    }
+    vecs.unpersist()
+    centroids
+  }
+
+  /** Index of the L2-nearest centroid (first wins ties — deterministic). */
+  private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d2 = 0.0
+      var d = 0
+      while (d < v.length) { val x = v(d) - cent(d); d2 += x * x; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF ANN top-k: probe only the `nprobe` lists whose centroids are
+    * nearest the query, exact cosine inside them. At scale the list id is
+    * the table's partition key, so the probe is partition pruning — only
+    * nprobe/nlist of the corpus is scanned. */
+  def ivfCosineTopK(embeddings: DataFrame, queryVec: Array[Float], k: Int = 10,
+      nlist: Int = 8, nprobe: Int = 2, iters: Int = 5): DataFrame = {
+    graft.functions.VectorOps.register(embeddings.sparkSession)
+    val centroids = ivfCentroids(embeddings, nlist, iters)
+    val q = queryVec.map(_.toDouble)
+    val probeLists = centroids.zipWithIndex.map { case (cent, i) =>
+      var d2 = 0.0
+      var d = 0
+      while (d < q.length) { val x = q(d) - cent(d); d2 += x * x; d += 1 }
+      (d2, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = asDouble(embeddings).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, v) => (id, v, nearestCentroid(v, cents)) }
+      }.toDF("vec_id", "embedding", "list")
+    assigned.filter(col("list").isInCollection(probeLists))
+      .select(col("vec_id"), round(cosineCol(queryVec), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
     * threshold within a bounded id range (the exact, oracle-checkable form
     * kept as the recall oracle for [[annCandidatePairs]], which is the

@@ -186,4 +186,36 @@ object TextAnalysis {
           conv(substring(col("kth"), 1, 8), 16, 10).cast("double"))
           .as("distinct_estimate"))
   }
+
+  /** The end-to-end curation pipeline a training-data run composes from
+    * the operators above: language filter (n-gram heuristic) → quality
+    * gates (token count, stopword ratio) → near-dup removal (drop the
+    * larger id of every LSH candidate pair). One narrow pass for the
+    * per-doc signals + the LSH banding shuffle + a broadcast-able
+    * anti-join; at corpus scale every stage keeps its own documented
+    * shape. Exact DuckDB oracle (all components are SQL-expressible). */
+  def curationPipeline(documents: DataFrame, minTokens: Int = 8,
+      minStopwordRatio: Double = 0.05): DataFrame = {
+    val allStops = stopwords.values.flatten.toSeq
+    val nTok = size(toks(col("text")))
+    val stopRatio = size(filter(toks(col("text")), t => t.isInCollection(allStops)))
+      .cast("double") / nTok
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val best = langs.foldLeft((lit("und"), lit(0))) { case ((bl, bh), l) =>
+      val hits = size(filter(toks(col("text")), t => t.isInCollection(stopwords(l))))
+      (when(hits > bh, lit(l)).otherwise(bl), when(hits > bh, hits).otherwise(bh))
+    }
+    val passed = documents
+      .withColumn("lang_guess", best._1)
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("stopword_ratio", stopRatio)
+      .filter(col("lang_guess") === "en")
+      .filter(col("n_tokens") >= minTokens)
+      .filter(col("stopword_ratio") >= minStopwordRatio)
+    val dupLosers = graft.ops.Dedup.lshCandidatePairs(documents)
+      .select(col("doc_b").as("doc_id")).distinct()
+    passed.join(dupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_guess"), col("n_tokens"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"))
+  }
 }

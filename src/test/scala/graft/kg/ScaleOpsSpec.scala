@@ -93,6 +93,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(capped === (for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)).toSet)
   }
 
+  test("IVF ANN: deterministic centroids; results are cosine-exact within probed lists") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val c1 = graft.ops.Similarity.ivfCentroids(rest, nlist = 8, iters = 5)
+    val c2 = graft.ops.Similarity.ivfCentroids(rest, nlist = 8, iters = 5)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq, "Lloyd must be deterministic")
+    val ivf = graft.ops.Similarity.ivfCosineTopK(rest, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = graft.ops.Similarity.bruteCosineTopK(rest, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.length === 10)
+    // every IVF result's cosine matches the exact computation for that id
+    val exactAll = graft.ops.Similarity.bruteCosineTopK(rest, q, k = 1000000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { case (id, c) => assert(math.abs(exactAll(id) - c) < 1e-9) }
+    // no IVF cosine beats the exact best; probing 2/8 lists finds a
+    // meaningful share of the true top-10
+    assert(ivf.head._2 <= exact.head._2 + 1e-9)
+    val hit = ivf.map(_._1).toSet.intersect(exact.map(_._1).toSet).size
+    assert(hit >= 2, s"IVF recall@10 too low: $hit/10")
+  }
+
   test("minhash64: identical docs identical sigs; jaccard estimate sane; k respected") {
     def doc(id: Long, text: String) = (id, text, "en")
     // two docs sharing ~half their 3-shingles

@@ -95,9 +95,9 @@ object Pipeline {
         it.flatMap { case (url, html) =>
           val text = TextExtract.extract(html) // north-rule extraction stage
           Segment.sentences(text).zipWithIndex.flatMap { case (sent, sentIdx) =>
-            val tokens = Segment.tokenize(sent)
-            // one lowercase pass serves both mention matching and scoring
-            val lower = tokens.map(Adaptors.asciiLower)
+            // fused tokenize+lowercase pass serves both mention matching
+            // and scoring (byte-identical to tokenize + asciiLower)
+            val lower = Segment.tokenizeLower(sent)
             val mentions = Segment.detectMentionsIndexed(lower, gazIndex)
             if (mentions.isEmpty) Nil
             else {

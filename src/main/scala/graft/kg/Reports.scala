@@ -58,6 +58,42 @@ object Reports {
     }.toSeq
 
   /**
+   * Render a per-relation confusion into sklearn `classification_report`
+   * TEXT (the artifact train.py:173-176 writes into the experiment dir):
+   * two header lines, one body line per label with right-aligned
+   * two-decimal P/R/F1 + support, blank line, weighted `avg / total` row.
+   * Round-trips through [[parseSklearnReport]] (tested).
+   *
+   * `confusion(t)(p)` counts dev examples with target t predicted p.
+   */
+  def formatSklearnReport(labels: Seq[String], confusion: Array[Array[Long]]): String = {
+    val n = labels.length
+    def safeDiv(a: Double, b: Double): Double = if (b == 0) 0.0 else a / b
+    val rows = (0 until n).map { t =>
+      val support = confusion(t).sum
+      val predCnt = (0 until n).map(p => confusion(p)(t)).sum
+      val tp = confusion(t)(t)
+      val p = safeDiv(tp.toDouble, predCnt.toDouble)
+      val r = safeDiv(tp.toDouble, support.toDouble)
+      val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+      (labels(t), p, r, f1, support)
+    }
+    val total = rows.map(_._5).sum.toDouble
+    val wAvg = (f: ((String, Double, Double, Double, Long)) => Double) =>
+      if (total == 0) 0.0 else rows.map(x => f(x) * x._5).sum / total
+    val width = math.max(labels.map(_.length).max, "avg / total".length)
+    val sb = new StringBuilder
+    sb.append(" " * width).append("  precision    recall  f1-score   support\n\n")
+    def line(label: String, p: Double, r: Double, f1: Double, s: Long): Unit =
+      sb.append(label.reverse.padTo(width, ' ').reverse)
+        .append(f"  $p%9.2f $r%9.2f $f1%9.2f $s%9d").append('\n')
+    rows.foreach { case (l, p, r, f1, s) => line(l, p, r, f1, s) }
+    sb.append("\n")
+    line("avg / total", wAvg(_._2), wAvg(_._3), wAvg(_._4), total.toLong)
+    sb.toString
+  }
+
+  /**
    * The alignment join (align_reports.py:36-40): every sklearn-report
    * relation in REPORT ORDER, joined with the gabor columns where present,
    * 'N/A' elsewhere. Left join + coalesce — the J2 shape; report tables are

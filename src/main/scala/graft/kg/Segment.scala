@@ -67,6 +67,31 @@ object Segment {
     out.toIndexedSeq
   }
 
+  /** [[tokenize]] fused with Python-2 ASCII lowercasing — one pass, one
+    * string per token instead of tokenize-then-map (the kernel only ever
+    * consumes lowercased tokens; byte-identical to
+    * `tokenize(s).map(Adaptors.asciiLower)`). */
+  def tokenizeLower(sentence: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = sentence.length
+    val buf = new java.lang.StringBuilder(24)
+    var i = 0
+    @inline def lower(c: Char): Char = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    while (i < n) {
+      while (i < n && isWs(sentence.charAt(i))) i += 1
+      buf.setLength(0)
+      while (i < n && !isWs(sentence.charAt(i))) { buf.append(lower(sentence.charAt(i))); i += 1 }
+      if (buf.length > 0) {
+        val last = buf.charAt(buf.length - 1)
+        if (buf.length > 1 && ".,!?;:".indexOf(last) >= 0) {
+          out += buf.substring(0, buf.length - 1)
+          out += String.valueOf(last)
+        } else out += buf.toString
+      }
+    }
+    out.toIndexedSeq
+  }
+
   /** Gazetteer pre-indexed by first token — the per-position scan compares
     * token arrays instead of building joined strings (the naive joined-key
     * lookup was the pipeline's top allocation site). */

@@ -197,11 +197,35 @@ object Trainer {
     }
     val weights = Backprop.unflatten(bestFlat, layout, b.weights.dropout)
     experimentDir.foreach { case (root, name) =>
-      Experiments.save(root, name, b, weights,
+      val dir = Experiments.save(root, name, b, weights,
         extras = Map("best_epoch" -> bestEpoch.toString,
           "epochs" -> epochs.toString, "lr" -> lr.toString,
           "optimizer" -> optimizer, "clipnorm" -> clipNorm.toString,
           "mode" -> "full"))
+      val bcW = spark.sparkContext.broadcast(bestFlat)
+      val conf = devSeq.rdd.treeAggregate(Array.ofDim[Long](rDim, rDim))(
+        seqOp = { (m, row) =>
+          val logits = Backprop.logits(bcW.value, layout, retain, row.sequence)
+          val mask = tc.maskRow(row.subjectNer, row.objectNer)
+          var best0 = 0
+          var mx = logits(0) * mask(0)
+          var r = 1
+          while (r < rDim) { val v = logits(r) * mask(r); if (v > mx) { mx = v; best0 = r }; r += 1 }
+          m(row.label)(best0) += 1
+          m
+        },
+        combOp = { (m1, m2) =>
+          var t = 0
+          while (t < rDim) {
+            var pp = 0
+            while (pp < rDim) { m1(t)(pp) += m2(t)(pp); pp += 1 }
+            t += 1
+          }
+          m1
+        })
+      bcW.destroy()
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "classification_report.txt"),
+        Reports.formatSklearnReport(b.rel.index2word.toSeq, conf).getBytes("UTF-8"))
     }
     FullTrainResult(weights, log.toSeq, bestEpoch)
   }
@@ -355,11 +379,59 @@ object Trainer {
     // S9: persist the experiment-artifact directory (train.py:155-157,171 —
     // config + vocabs + best weights), reloadable by Experiments.load
     experimentDir.foreach { case (root, name) =>
-      Experiments.save(root, name, b,
+      val dir = Experiments.save(root, name, b,
         b.weights.copy(dense = result.dense, denseB = result.denseB),
         extras = Map("best_epoch" -> result.bestEpoch.toString,
           "epochs" -> epochs.toString, "lr" -> lr.toString))
+      // classification_report.txt over the dev split with the selected
+      // weights (train.py:173-176)
+      val conf = confusionReadout(devFeat, b, result.dense, result.denseB)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "classification_report.txt"),
+        Reports.formatSklearnReport(b.rel.index2word.toSeq, conf).getBytes("UTF-8"))
     }
     result
+  }
+
+  /** Dev confusion matrix (targ x pred) with given readout weights. */
+  private def confusionReadout(dev: Dataset[FeatureRow], b: Pipeline.ScoringBundle,
+      w: Array[Array[Float]], bias: Array[Float]): Array[Array[Long]] = {
+    val rDim = b.rel.size
+    val hDim = b.weights.hidden
+    val tc = b.typechecker
+    val bc = dev.sparkSession.sparkContext.broadcast((w, bias))
+    val conf = dev.rdd.treeAggregate(Array.ofDim[Long](rDim, rDim))(
+      seqOp = { (m, row) =>
+        val (wX, bX) = bc.value
+        val logits = new Array[Double](rDim)
+        var r = 0
+        while (r < rDim) { logits(r) = bX(r); r += 1 }
+        var j = 0
+        while (j < hDim) {
+          val hj = row.h(j)
+          if (hj != 0f) {
+            r = 0
+            while (r < rDim) { logits(r) += hj * wX(j)(r); r += 1 }
+          }
+          j += 1
+        }
+        val mask = tc.maskRow(row.subjectNer, row.objectNer)
+        var best = 0
+        var mx = logits(0) * mask(0)
+        r = 1
+        while (r < rDim) { val v = logits(r) * mask(r); if (v > mx) { mx = v; best = r }; r += 1 }
+        m(row.label)(best) += 1
+        m
+      },
+      combOp = { (m1, m2) =>
+        var t = 0
+        while (t < rDim) {
+          var pp = 0
+          while (pp < rDim) { m1(t)(pp) += m2(t)(pp); pp += 1 }
+          t += 1
+        }
+        m1
+      })
+    bc.destroy()
+    conf
   }
 }

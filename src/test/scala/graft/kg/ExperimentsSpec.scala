@@ -61,6 +61,14 @@ class ExperimentsSpec extends AnyFunSuite {
     val config = new String(Files.readAllBytes(
       java.nio.file.Paths.get(dir, "run1", "config.json")), "UTF-8")
     assert(config.contains(s""""best_epoch": "${result.bestEpoch}""""))
+    // classification_report.txt artifact (train.py:173-176): present and
+    // round-trips through the J2 sklearn parser
+    val reportTxt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "run1", "classification_report.txt")), "UTF-8")
+    val parsed = Reports.parseSklearnReport(reportTxt)
+    assert(parsed.length === bundleBc.value.rel.size)
+    assert(parsed.map(_.support.toLong).sum === df.count())
+    assert(reportTxt.linesIterator.toSeq.last.trim.startsWith("avg / total"))
     val loaded = Experiments.load(dir, "run1")
     assert(loaded.weights.dense.map(_.toSeq).toSeq === result.dense.map(_.toSeq).toSeq)
     assert(loaded.weights.denseB.toSeq === result.denseB.toSeq)

@@ -204,6 +204,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"only docs 1 and 2 share frames: ${pairs.toSeq}")
   }
 
+  test("tokenizeLower == tokenize + asciiLower (fused kernel pass)") {
+    (0L until 50L).foreach { i =>
+      val text = TextExtract.extract(Gen.page(42L, i, withText = false).html)
+      Segment.sentences(text).foreach { s =>
+        assert(Segment.tokenizeLower(s) === Segment.tokenize(s).map(Adaptors.asciiLower))
+      }
+    }
+    Seq("", "A", "A.", "HeLLo, WoRLD!", "x  Y\tZ.", "..", "a.b", "ÜPPER X,").foreach { s =>
+      assert(Segment.tokenizeLower(s) === Segment.tokenize(s).map(Adaptors.asciiLower), s)
+    }
+  }
+
   test("simhashPairs bucket cap bounds in-bucket expansion") {
     val rows = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta", "en"))
     val d = rows.toDF("doc_id", "text", "lang")

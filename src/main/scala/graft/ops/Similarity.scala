@@ -28,7 +28,7 @@ object Similarity {
 
   /** cosine(embedding, queryVec) as a native codegen'd expression. */
   private def cosineCol(queryVec: Array[Float]) =
-    cosine_sim(col("embedding"), array(queryVec.map(v => lit(v.toDouble)): _*))
+    cosine_sim(col("embedding"), array(queryVec.toIndexedSeq.map(v => lit(v.toDouble)): _*))
 
   /** All math in double (matches the DuckDB oracle's DOUBLE[] cast). */
   private def asDouble(embeddings: DataFrame): DataFrame =
@@ -53,7 +53,7 @@ object Similarity {
   def withLshBucket(embeddings: DataFrame, planes: Array[Array[Float]]): DataFrame = {
     graft.functions.VectorOps.register(embeddings.sparkSession)
     val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val dot = dot_product(col("embedding"), array(p.map(v => lit(v.toDouble)): _*))
+      val dot = dot_product(col("embedding"), array(p.toIndexedSeq.map(v => lit(v.toDouble)): _*))
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     embeddings.withColumn("bucket", bucket)
@@ -104,7 +104,7 @@ object Similarity {
     val bandStructs = (0 until bands).map { l =>
       val planes = hyperplanes(planesPerBand, dim, seed + 31L * l)
       val bucket = planes.zipWithIndex.map { case (p, i) =>
-        val dot = dot_product(col("embedding"), array(p.map(v => lit(v.toDouble)): _*))
+        val dot = dot_product(col("embedding"), array(p.toIndexedSeq.map(v => lit(v.toDouble)): _*))
         when(dot > 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(l).as("band"), bucket.as("key"))

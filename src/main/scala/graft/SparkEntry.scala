@@ -394,6 +394,9 @@ object SparkEntry {
     "q_kmv_distinct" -> ((s, dir) => TextAnalysis.kmvDistinctTokens(t(s, dir, "documents"))),
     // composed curation pipeline: lang filter → quality gates → near-dup drop
     "q_curation_pipeline" -> ((s, dir) => TextAnalysis.curationPipeline(t(s, dir, "documents"))),
+    // Count-Min sketch point queries for the stopword candidates
+    "q_cms_estimate" -> ((s, dir) => TextAnalysis.cmsEstimate(t(s, dir, "documents"),
+      TextAnalysis.stopwords.toSeq.sortBy(_._1).flatMap(_._2).distinct)),
     "q_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
     // winnowing (rolling-hash) fingerprint clusters: docs sharing substrings
     "q_winnow_clusters" -> ((s, dir) =>
@@ -802,6 +805,29 @@ object SparkEntry {
          WHERE lang_guess = 'en' AND n_tokens >= 8
            AND CAST(stop_hits AS DOUBLE) / n_tokens >= 0.05
            AND doc_id NOT IN (SELECT doc_id FROM losers)""",
+
+    "q_cms_estimate" ->
+      """WITH cand AS (SELECT UNNEST(['the','a','of','and','to','el','la','de','y','que',
+             'der','die','das','und','ist','le','et','est','de5','shi4','le5','zai4','he2'])
+             AS token),
+         tok AS (SELECT md5(UNNEST(string_split(text, ' '))) AS h FROM documents),
+         cnt AS (SELECT i.g AS row,
+             CAST('0x' || substr(h, 1 + 8*(i.g-1), 8) AS BIGINT) % 256 AS bucket,
+             COUNT(*) AS cnt
+           FROM tok, (SELECT UNNEST(generate_series(1, 4)) AS g) i
+           GROUP BY 1, 2),
+         probes AS (SELECT c.token, i.g AS row,
+             CAST('0x' || substr(md5(c.token), 1 + 8*(i.g-1), 8) AS BIGINT) % 256 AS bucket
+           FROM cand c, (SELECT UNNEST(generate_series(1, 4)) AS g) i),
+         est AS (SELECT p.token, MIN(COALESCE(cnt.cnt, 0)) AS est_count
+           FROM probes p LEFT JOIN cnt ON p.row = cnt.row AND p.bucket = cnt.bucket
+           GROUP BY p.token),
+         exact AS (SELECT token, COUNT(*) AS exact_count
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token)
+         SELECT e.token, e.est_count,
+           CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count
+         FROM est e LEFT JOIN exact x ON e.token = x.token""",
 
     "q_kmv_distinct" ->
       """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),

@@ -218,4 +218,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang_guess"), col("n_tokens"),
         round(col("stopword_ratio"), 6).as("stopword_ratio"))
   }
+
+  /** Count-Min Sketch over corpus tokens: `depth` hash rows × `width`
+    * buckets of counters (here depth independent 32-bit slices of one md5,
+    * mod width — deterministic, exactly reproducible in SQL). The ONLY
+    * shuffle moves (row, bucket) partial counts — a key space of
+    * depth×width regardless of corpus size; that bounded shuffle is the
+    * whole point of the sketch at 100 TB. */
+  def cmsCounters(documents: DataFrame, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth <= 4, "md5 yields four 8-hex-char slices")
+    val tok = documents.select(explode(toks(col("text"))).as("token"))
+      .select(md5(col("token")).as("h"))
+    val rows = (1 to depth).map(i => struct(lit(i).as("row"),
+      pmod(conv(substring(col("h"), 1 + 8 * (i - 1), 8), 16, 10).cast("long"),
+        lit(width.toLong)).as("bucket")))
+    tok.select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for a candidate token list: est(t) =
+    * min over rows of counter[row][h_row(t)] (upper bound on the true
+    * frequency — CMS never underestimates; asserted in tests and visible
+    * in the exact_count column). */
+  def cmsEstimate(documents: DataFrame, candidates: Seq[String],
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val counters = cmsCounters(documents, depth, width)
+    val cand = candidates.toDF("token")
+      .select(col("token"), md5(col("token")).as("h"))
+    val rows = (1 to depth).map(i => struct(lit(i).as("row"),
+      pmod(conv(substring(col("h"), 1 + 8 * (i - 1), 8), 16, 10).cast("long"),
+        lit(width.toLong)).as("bucket")))
+    val probes = cand.select(col("token"), explode(array(rows: _*)).as("rb"))
+      .select(col("token"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+    val exact = documents.select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+    probes.join(counters, Seq("row", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+      .join(exact, Seq("token"), "left")
+      .select(col("token"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+  }
 }

@@ -163,6 +163,17 @@ class ScaleOpsSpec extends AnyFunSuite {
       "diameter-bound propagation cannot finish a 200-chain in 15 rounds")
   }
 
+  test("CMS never underestimates; exact for tokens without collisions") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val byTok = graft.ops.TextAnalysis
+      .cmsEstimate(docs, Seq("the", "spark", "und", "zzz_absent"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    byTok.foreach { case (t, (est, exact)) =>
+      assert(est >= exact, s"CMS underestimated $t: $est < $exact")
+    }
+    assert(byTok("zzz_absent")._2 === 0L)
+  }
+
   test("KMV sketch estimates distinct tokens within ~3/sqrt(k) at k=256") {
     // 4000 distinct tokens spread over 40 docs, every token repeated twice
     val docs = (0 until 40).map { d =>

@@ -68,8 +68,15 @@ object Dedup {
     * capped at `maxBucket` (a true near-dup cluster bigger than that wants
     * representative-dedup, not all-pairs); the cap never binds on sane data
     * and is a guard against boilerplate mega-clusters at web scale. */
-  def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 10000): DataFrame = {
-    val sig = minhashSignatures(documents, 2) // band = (h1, h2)
+  def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 10000): DataFrame =
+    lshCandidatePairsFromSigs(minhashSignatures(documents, 2), maxBucket) // band = (h1, h2)
+
+  /** Banding over a PRECOMPUTED signature table — at scale the signatures
+    * are materialized once and shared by every consumer (candidate pairs,
+    * clustering, curation) instead of recomputing the shingle hashes per
+    * query; pass `minhashSignatures(docs, 2)` (or a table written by a
+    * prior job) here. */
+  def lshCandidatePairsFromSigs(sig: DataFrame, maxBucket: Int = 10000): DataFrame = {
     sig.groupBy(col("h1"), col("h2"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
       .filter(size(col("ids")) > 1)

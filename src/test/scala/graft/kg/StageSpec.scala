@@ -181,6 +181,15 @@ class StageSpec extends AnyFunSuite {
     val got = spark.sql("SELECT softmax_argmax(array(1.0d, 3.0d, 2.0d)) AS sa")
       .selectExpr("sa.idx", "sa.conf").head()
     assert(got.getInt(0) === 1)
+    // native vector expressions on the SQL surface
+    graft.functions.VectorOps.register(spark)
+    val v = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+                dot_product(array(1.0d), array(1.0d, 2.0d)) AS mismatch""").head()
+    assert(v.getDouble(0) === 11.0)
+    assert(math.abs(v.getDouble(1) - 1.0) < 1e-12)
+    assert(v.isNullAt(2), "length mismatch must yield null")
   }
 
   test("evaluation harness: pred.py lifecycle (score → micro PRF → report → wrongs)") {

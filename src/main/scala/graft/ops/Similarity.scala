@@ -78,6 +78,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the LSH index AS A TABLE partitioned by bucket — the
+    * at-scale form of [[lshCosineTopK]]'s claim: a query then reads ONLY
+    * its candidate buckets via partition pruning (asserted on the physical
+    * plan in ScaleOpsSpec). */
+  def writeLshIndex(embeddings: DataFrame, path: String,
+      nPlanes: Int = 4, seed: Long = 7L): Unit = {
+    val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    withLshBucket(asDouble(embeddings), hyperplanes(nPlanes, dim, seed))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Query a materialized LSH index: same bucket+Hamming-1 probe set as
+    * [[lshCosineTopK]], but the bucket filter lands on the PARTITION
+    * column, so non-candidate buckets are never read from storage. */
+  def queryLshIndex(spark: SparkSession, path: String, queryVec: Array[Float],
+      k: Int = 10, nPlanes: Int = 4, seed: Long = 7L): DataFrame = {
+    graft.functions.VectorOps.register(spark)
+    val planes = hyperplanes(nPlanes, queryVec.length, seed)
+    var qBucket = 0
+    planes.zipWithIndex.foreach { case (p, i) =>
+      val dot = p.zip(queryVec).map { case (a, b) => a.toDouble * b }.sum
+      if (dot > 0) qBucket |= (1 << i)
+    }
+    val candidates = qBucket +: (0 until nPlanes).map(p => qBucket ^ (1 << p))
+    spark.read.parquet(path)
+      .filter(col("bucket").isInCollection(candidates))
+      .select(col("vec_id"), round(cosineCol(queryVec), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /**
    * Banded sign-LSH near-dup pair generation — the 100 TB form that
    * replaces the all-pairs cross joins as the default batch operator.

@@ -93,6 +93,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(capped === (for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)).toSet)
   }
 
+  test("materialized LSH index: partition pruning on bucket, same results as in-memory") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    try {
+      graft.ops.Similarity.writeLshIndex(rest, dir)
+      val fromIndex = graft.ops.Similarity.queryLshIndex(spark, dir, q)
+      // the bucket predicate must land on the PARTITION column (pruned scan,
+      // not a post-scan filter over all buckets)
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1").contains("bucket"),
+        s"bucket probe must prune partitions:\n$plan")
+      val a = fromIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = graft.ops.Similarity.lshCosineTopK(rest, q).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a === b, "index query must match the in-memory LSH search")
+    } finally Lineage.deleteRecursively(dir)
+  }
+
   test("IVF ANN: deterministic centroids; results are cosine-exact within probed lists") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()

@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
  *    moves 16-byte digests, not documents);
  *  - MinHash signatures are computed via explode+groupBy on tokens — linear,
  *    shuffle carries (doc_id, band-key) pairs only;
- *  - LSH candidate pairs come from a self-join on the band key: the join
- *    explodes only within buckets, never across the full corpus (the whole
- *    point of LSH at 100 TB);
+ *  - LSH candidate pairs expand only INSIDE band buckets, never across the
+ *    full corpus (the whole point of LSH at 100 TB), via one shuffle keyed
+ *    by band plus a memory-bounded streaming window — no aggregation buffer
+ *    ever holds a mega-bucket;
  *  - SimHash is a single narrow projection (no shuffle at all) — near-dup
- *    detection then groups by the 16-bit band keys.
+ *    detection then expands within the 16-bit band buckets the same way.
  *
- * Everything except SimHash bit-twiddling is pure `functions._` — Catalyst
- * codegen end to end, and each query has an exact DuckDB oracle.
+ * The signature/banding math is pure `functions._` — Catalyst codegen — and
+ * each query has an exact DuckDB oracle; the in-bucket expansion is a
+ * sorted mapPartitions kernel (ids only) so its memory is O(maxBucket).
  */
 object Dedup {
 
@@ -71,18 +73,65 @@ object Dedup {
   def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 10000): DataFrame =
     lshCandidatePairsFromSigs(minhashSignatures(documents, 2), maxBucket) // band = (h1, h2)
 
+  /** Streaming in-bucket pair expansion over rows SORTED by (bucket key,
+    * doc_id) within the partition — the same memory-bounded kernel as
+    * [[graft.ops.Similarity]]'s ANN expansion: at most `maxBucket` ids are
+    * ever buffered per bucket (a mega-bucket never materializes in an
+    * aggregation buffer), overflow ids are counted on the accumulator and
+    * logged once per task, and the kept set (the `maxBucket` smallest ids)
+    * is deterministic. */
+  private def streamKeyedPairs(it: Iterator[(String, Long)], maxBucket: Int,
+      dropped: org.apache.spark.util.LongAccumulator,
+      tag: String): Iterator[(Long, Long)] = {
+    var cur: String = null
+    var warned = false
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](16)
+    it.flatMap { case (key, id) =>
+      if (key != cur) { cur = key; buf.clear() }
+      if (buf.size >= maxBucket) {
+        dropped.add(1)
+        if (!warned) {
+          System.err.println(s"[graft.$tag] bucket exceeds maxBucket=$maxBucket — " +
+            "dropping overflow ids (see dropped-ids accumulator)")
+          warned = true
+        }
+        Iterator.empty
+      } else {
+        val n = buf.size
+        buf += id
+        Iterator.range(0, n).map(i => (buf(i), id))
+      }
+    }
+  }
+
   /** Banding over a PRECOMPUTED signature table — at scale the signatures
     * are materialized once and shared by every consumer (candidate pairs,
     * clustering, curation) instead of recomputing the shingle hashes per
     * query; pass `minhashSignatures(docs, 2)` (or a table written by a
-    * prior job) here. */
-  def lshCandidatePairsFromSigs(sig: DataFrame, maxBucket: Int = 10000): DataFrame = {
-    sig.groupBy(col("h1"), col("h2"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"),
-        explode(filter(col("ids"), x => x > col("doc_a"))).as("doc_b"))
+    * prior job) here.
+    *
+    * Scale shape: ONE shuffle keyed by the band key carrying
+    * (key, doc_id) only; pairs expand via repartition +
+    * sortWithinPartitions + the bounded streaming window
+    * ([[streamKeyedPairs]]) — the aggregation-buffer blow-up of a
+    * `collect_list` over a boilerplate mega-bucket cannot happen, and
+    * overflow is counted ("graft.lsh.dropped_ids") instead of silently
+    * shaping the result. */
+  def lshCandidatePairsFromSigs(sig: DataFrame, maxBucket: Int = 10000,
+      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val dropped = droppedAcc.getOrElse(
+      spark.sparkContext.longAccumulator("graft.lsh.dropped_ids"))
+    // the 0x01 separator never occurs in md5-hex or decimal-rendered hash
+    // slots, so the joined key has no boundary-shift collisions for either
+    // signature width
+    sig.select(concat_ws("\u0001", col("h1"), col("h2")).as("bkey"), col("doc_id"))
+      .as[(String, Long)]
+      .repartition(col("bkey"))
+      .sortWithinPartitions(col("bkey"), col("doc_id"))
+      .mapPartitions(it => streamKeyedPairs(it, maxBucket, dropped, "lsh"))
+      .toDF("doc_a", "doc_b")
   }
 
   /** 64-bit SimHash over unigram tokens (weights = term frequency).
@@ -114,31 +163,63 @@ object Dedup {
   /** SimHash near-dup pairs: same 16-bit band in any of 4 bands →
     * candidate; verified by Hamming distance <= maxHamming.
     *
-    * Scale shape (same one-pass design as [[lshCandidatePairs]]): group by
-    * band key and expand pairs INSIDE each bucket — no self-join, exactly
-    * one shuffle keyed by band, bucket size capped at `maxBucket` (a
-    * boilerplate-heavy web corpus makes 16-bit-band mega-buckets explode
-    * quadratically otherwise). The Hamming filter runs BEFORE the
-    * cross-band pair dedup, so the `.distinct()` shuffle only ever moves
-    * true near-dup pairs, not the full banding blow-up. */
+    * Scale shape (same memory-bounded design as
+    * [[lshCandidatePairsFromSigs]]): ONE shuffle keyed by (band, key)
+    * carrying (doc_id, simhash) — 16 bytes of payload; pairs expand inside
+    * each bucket via the sorted streaming window (buffer ≤ `maxBucket`
+    * (id, simhash) entries per task, overflow counted on
+    * "graft.simhash.dropped_ids" and logged — a boilerplate-heavy web
+    * corpus makes 16-bit-band mega-buckets explode quadratically
+    * otherwise). The Hamming filter runs in-kernel BEFORE the cross-band
+    * pair dedup, so the `.distinct()` shuffle only ever moves true
+    * near-dup pairs, not the full banding blow-up. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 12,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dropped = droppedAcc.getOrElse(
+      spark.sparkContext.longAccumulator("graft.simhash.dropped_ids"))
     val withSim = simhash(documents)
     val banded = withSim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16)
           .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    banded.groupBy(col("band"), col("key"))
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
-        1, maxBucket).as("items"))
-      .filter(size(col("items")) > 1)
-      .select(explode(col("items")).as("a"), col("items"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
-        explode(filter(col("items"), x => x.getField("doc_id") > col("a.doc_id"))).as("b"))
-      .select(col("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"), col("simhash"))
+      .as[(Int, Long, Long, Long)]
+    banded
+      .repartition(col("band"), col("key"))
+      .sortWithinPartitions(col("band"), col("key"), col("doc_id"))
+      .mapPartitions { it =>
+        var curBand = Int.MinValue
+        var curKey = Long.MinValue
+        var warned = false
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](16)
+        val sims = new scala.collection.mutable.ArrayBuffer[Long](16)
+        it.flatMap { case (band, key, id, sim) =>
+          if (band != curBand || key != curKey) {
+            curBand = band; curKey = key; ids.clear(); sims.clear()
+          }
+          if (ids.size >= maxBucket) {
+            dropped.add(1)
+            if (!warned) {
+              System.err.println(s"[graft.simhash] bucket (band=$band, key=$key) " +
+                s"exceeds maxBucket=$maxBucket — dropping overflow ids")
+              warned = true
+            }
+            Iterator.empty
+          } else {
+            val n = ids.size
+            ids += id; sims += sim
+            Iterator.range(0, n).flatMap { i =>
+              val h = java.lang.Long.bitCount(sims(i) ^ sim)
+              if (h <= maxHamming) Some((ids(i), id, h)) else None
+            }
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .distinct()
   }
 
@@ -199,6 +280,11 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    if (!converged)
+      System.err.println(s"[graft.cc] connectedComponents exited at maxIter=$maxIter " +
+        "WITHOUT converging — labels may span multiple rounds of propagation short " +
+        "of the true component minimum (deep component diameter; use " +
+        "connectedComponentsStar for deep graphs)")
     labels
   }
 
@@ -256,6 +342,10 @@ object Dedup {
       converged = !changed
       it += 1
     }
+    if (!converged)
+      System.err.println(s"[graft.cc] connectedComponentsStar exited at maxIter=$maxIter " +
+        "WITHOUT reaching the star fixed point — the label join below may emit " +
+        "duplicate/incorrect cluster rows")
     // fixed point = stars: every non-center u has exactly one edge (u, center)
     nodes.select(col("node"))
       .join(edges.select(col("u").as("node"), col("v").as("c")), Seq("node"), "left")

@@ -109,6 +109,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** planesPerBand sized for a corpus: ceil(log2(n / targetBucketSize))
+    * bits per band keeps the EXPECTED bucket population near
+    * `targetBucketSize` (each plane halves it), so the in-bucket expansion
+    * stays bounded as n grows — at 1B vectors and target 10k this yields
+    * 17 planes, not the test-scale default of 3. Clamped to [1, 30]. */
+  def planesForCorpus(n: Long, targetBucketSize: Int = 10000): Int = {
+    require(targetBucketSize > 0)
+    val ratio = math.max(1.0, n.toDouble / targetBucketSize)
+    math.min(30, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  /** Streaming in-bucket pair expansion over rows SORTED by
+    * ((band, key), vec_id) within the partition: buffers at most
+    * `maxBucket` ids per bucket (8 bytes each — never an embedding), emits
+    * (a, b) lazily for each arriving id against the buffered smaller ids,
+    * and DROPS ids past the cap — counted on the accumulator and logged
+    * once per task (the no-silent-caps rule), never buffered. Memory per
+    * task is O(maxBucket) longs regardless of bucket or corpus size. */
+  private def streamBucketPairs(it: Iterator[(Int, Int, Long)], maxBucket: Int,
+      dropped: org.apache.spark.util.LongAccumulator): Iterator[(Long, Long)] = {
+    var curBand = Int.MinValue
+    var curKey = Int.MinValue
+    var warned = false
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](64)
+    it.flatMap { case (band, key, id) =>
+      if (band != curBand || key != curKey) { curBand = band; curKey = key; buf.clear() }
+      if (buf.size >= maxBucket) {
+        dropped.add(1)
+        if (!warned) {
+          System.err.println(s"[graft.ann] bucket (band=$band, key=$key) exceeds " +
+            s"maxBucket=$maxBucket — dropping overflow ids (see dropped-ids accumulator)")
+          warned = true
+        }
+        Iterator.empty
+      } else {
+        val n = buf.size
+        buf += id
+        // lazy: flatMap exhausts this before touching the next row, and
+        // appends never move indices 0..n-1 — no per-row array copy
+        Iterator.range(0, n).map(i => (buf(i), id))
+      }
+    }
+  }
+
   /**
    * Banded sign-LSH near-dup pair generation — the 100 TB form that
    * replaces the all-pairs cross joins as the default batch operator.
@@ -117,19 +161,32 @@ object Similarity {
    * sign pattern of `planesPerBand` hyperplanes. Two vectors at angle θ
    * agree on one plane with p = 1 − θ/π, so a pair survives banding with
    * 1 − (1 − p^b)^L — at the defaults (b=3, L=12) a cosine-0.3 pair is
-   * found with ~0.96 probability and higher-cosine pairs with ~1.
+   * found with ~0.96 probability and higher-cosine pairs with ~1. Size
+   * `planesPerBand` with [[planesForCorpus]] so expected bucket population
+   * stays near a constant as the corpus grows.
    *
-   * Scale shape (the [[graft.ops.Dedup.lshCandidatePairs]] pattern):
-   * ONE shuffle keyed by (band, bucket); pairs expand only INSIDE buckets
-   * (never across the corpus — no self-join, no cross join); bucket size
-   * capped at `maxBucket`; the exact cosine filter runs in-bucket BEFORE
-   * the cross-band `.distinct()`, so the dedup shuffle moves only true
-   * near-dup pairs. Per-pair cosine is the native `cosine_sim` expression.
+   * Scale shape — embeddings NEVER enter the bucket expansion:
+   *  1. banding is a narrow projection; the one banding shuffle carries
+   *     (band, key, vec_id) — 16 bytes/row, `bands`× the corpus row count
+   *     and independent of embedding width;
+   *  2. pairs expand in-bucket via repartition(band, key) +
+   *     sortWithinPartitions + a streaming mapPartitions window bounded at
+   *     `maxBucket` ids ([[streamBucketPairs]]) — no `collect_list`
+   *     aggregation buffer anywhere, overflow ids are counted on a named
+   *     accumulator ("graft.ann.dropped_ids") and logged, and the kept set
+   *     (the `maxBucket` smallest ids per bucket) is deterministic;
+   *  3. candidate id pairs dedup across bands FIRST (ids only), THEN join
+   *     the embeddings back for the exact-cosine verify — each surviving
+   *     pair moves its two embeddings across the wire once, not ×bands.
+   * Per-pair cosine is the native codegen'd `cosine_sim` expression.
    */
   def annCandidatePairs(embeddings: DataFrame, minCosine: Double = 0.3,
       bands: Int = 12, planesPerBand: Int = 3, maxBucket: Int = 10000,
-      seed: Long = 7L): DataFrame = {
-    graft.functions.VectorOps.register(embeddings.sparkSession)
+      seed: Long = 7L,
+      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
     val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
     val e = asDouble(embeddings)
     val bandStructs = (0 until bands).map { l =>
@@ -140,20 +197,23 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(l).as("band"), bucket.as("key"))
     }
-    val banded = e.select(col("vec_id"), col("embedding"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key"))
-    banded.groupBy(col("band"), col("key"))
-      .agg(slice(sort_array(collect_list(struct(col("vec_id"), col("embedding")))),
-        1, maxBucket).as("items"))
-      .filter(size(col("items")) > 1)
-      .select(explode(col("items")).as("a"), col("items"))
-      .select(col("a"),
-        explode(filter(col("items"), x => x.getField("vec_id") > col("a.vec_id"))).as("b"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine_sim(col("a.embedding"), col("b.embedding")), 4).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+    val dropped = droppedAcc.getOrElse(
+      spark.sparkContext.longAccumulator("graft.ann.dropped_ids"))
+    val banded = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("vec_id"))
+      .as[(Int, Int, Long)]
+    val idPairs = banded
+      .repartition(col("band"), col("key"))
+      .sortWithinPartitions(col("band"), col("key"), col("vec_id"))
+      .mapPartitions(it => streamBucketPairs(it, maxBucket, dropped))
+      .toDF("id_a", "id_b")
       .distinct()
+    idPairs
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cosine"))
+      .filter(col("cosine") >= minCosine)
   }
 
   /** Batch approximate kNN join over the banded-LSH candidate pairs: every

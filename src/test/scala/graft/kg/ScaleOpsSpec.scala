@@ -93,6 +93,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(capped === (for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)).toSet)
   }
 
+  test("annCandidatePairs: no aggregation buffer over embeddings; drops are counted") {
+    // the 100 TB guarantee: the physical plan must contain NO collect_list /
+    // object-hash aggregation (the expansion is a sorted streaming window),
+    // and a mega-bucket's overflow is COUNTED, never silently absorbed
+    val rows = (0L until 2000L).map(i => (i, Array.fill(8)(0.5f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val acc = spark.sparkContext.longAccumulator("test_ann_dropped")
+    val pairs = graft.ops.Similarity
+      .annCandidatePairs(emb, minCosine = 0.9, maxBucket = 50, droppedAcc = Some(acc))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("ObjectHashAggregate"),
+      s"bucket expansion must not aggregate embeddings into a buffer:\n$plan")
+    val got = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (for (a <- 0L until 50L; b <- (a + 1) until 50L) yield (a, b)).toSet)
+    // every band's single bucket drops the 1950 ids past the cap
+    assert(acc.value === 12L * (2000 - 50), s"dropped ids must be counted: ${acc.value}")
+  }
+
+  test("planesForCorpus targets a constant bucket population as n grows") {
+    import graft.ops.Similarity.planesForCorpus
+    assert(planesForCorpus(1000L, 10000) === 1)           // tiny corpus → min 1
+    assert(planesForCorpus(80000L, 10000) === 3)          // 8 buckets of ~10k
+    assert(planesForCorpus(1000000000L, 10000) === 17)    // 1B/10k → 2^17
+    assert(planesForCorpus(Long.MaxValue, 1) === 30)      // clamped
+  }
+
+  test("lshCandidatePairsFromSigs: mega-bucket bounded, overflow counted") {
+    val text = (0 until 20).map(i => s"w$i").mkString(" ")
+    val d = (0L until 40L).map(i => (i, text, "en")).toDF("doc_id", "text", "lang")
+    val acc = spark.sparkContext.longAccumulator("test_lsh_dropped")
+    val pairs = graft.ops.Dedup.lshCandidatePairsFromSigs(
+      graft.ops.Dedup.minhashSignatures(d, 2), maxBucket = 5, droppedAcc = Some(acc))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)).toSet)
+    assert(acc.value === 35L, s"35 overflow ids must be counted: ${acc.value}")
+  }
+
   test("materialized LSH index: partition pruning on bucket, same results as in-memory") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()

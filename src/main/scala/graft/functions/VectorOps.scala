@@ -20,6 +20,8 @@ import org.apache.spark.sql.types._
  *
  * Length mismatch or empty input yields null (HOF zip_with would pad with
  * null and poison the sum; a mismatched pair is a data error either way).
+ * A null ELEMENT also yields null — matching the HOF forms, where a null
+ * slot poisons `aggregate`'s running sum to null (not silently 0.0).
  */
 abstract class VectorBinaryExpression extends BinaryExpression {
 
@@ -46,7 +48,10 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     if (n == 0 || n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // HOF null propagation
+      s += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     s
   }
 
@@ -61,10 +66,16 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
          |  ${ev.isNull} = true;
          |} else {
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
        """.stripMargin
     })
@@ -87,6 +98,7 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
     var sb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // HOF null propagation
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; sa += x * x; sb += y * y
       i += 1
@@ -109,12 +121,18 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $sa = 0.0, $sb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $x = $a.getDouble($i);
-         |    final double $y = $b.getDouble($i);
-         |    $dot += $x * $y; $sa += $x * $x; $sb += $y * $y;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      final double $x = $a.getDouble($i);
+         |      final double $y = $b.getDouble($i);
+         |      $dot += $x * $y; $sa += $x * $x; $sb += $y * $y;
+         |    }
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($sa) * java.lang.Math.sqrt($sb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($sa) * java.lang.Math.sqrt($sb));
+         |  }
          |}
        """.stripMargin
     })

@@ -26,8 +26,10 @@ object Reports {
    * P/R/F1 are re-formatted as percentages, support kept verbatim.
    */
   def parseSklearnReport(text: String): Seq[ReportRow] = {
-    val lines = text.linesIterator.toSeq
-    lines.slice(2, math.max(2, lines.length - 2)).map { line =>
+    // blank lines dropped FIRST (robust to trailing newlines / extra blank
+    // separators): what remains is header, body rows, avg/total footer
+    val lines = text.linesIterator.filter(_.trim.nonEmpty).toSeq
+    lines.slice(1, math.max(1, lines.length - 1)).map { line =>
       line.trim.split("\\s+") match {
         case Array(relation, precision, recall, f1, support) =>
           ReportRow(relation, pct(precision.toDouble), pct(recall.toDouble),

@@ -41,12 +41,29 @@ object TextExtract {
   private val anyTag = "(?s)<[^>]*>".r
   private val numericEntity = "&#(x[0-9a-fA-F]+|[0-9]+);".r
 
+  /** Parse a numeric-entity digit run safely (shared by the scanner and
+    * this regex spec so differential parity holds): leading zeros stripped,
+    * then a length cap — 6 hex / 7 decimal digits, anything longer exceeds
+    * U+10FFFF — guards `Integer.parseInt` against NumberFormatException on
+    * adversarial runs like `&#99999999999999;`. Returns -1 for
+    * invalid/overlong (callers emit the replacement char). */
+  private[kg] def entityCodePoint(body: String, hex: Boolean): Int = {
+    var i = 0
+    while (i < body.length - 1 && body.charAt(i) == '0') i += 1
+    val t = body.substring(i)
+    if (t.length > (if (hex) 6 else 7)) -1
+    else {
+      val cp = Integer.parseInt(t, if (hex) 16 else 10)
+      if (Character.isValidCodePoint(cp)) cp else -1
+    }
+  }
+
   private def decodeEntitiesRegex(s: String): String = {
     val numeric = numericEntity.replaceAllIn(s, m => {
       val body = m.group(1)
-      val cp = if (body.startsWith("x") || body.startsWith("X"))
-        Integer.parseInt(body.substring(1), 16) else Integer.parseInt(body)
-      if (Character.isValidCodePoint(cp))
+      val hex = body.startsWith("x")
+      val cp = entityCodePoint(if (hex) body.substring(1) else body, hex)
+      if (cp >= 0)
         java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
       else "�"
     })
@@ -209,8 +226,8 @@ object TextExtract {
         while (j < n && (if (hex) isHexDigit(s.charAt(j)) else s.charAt(j) >= '0' && s.charAt(j) <= '9')) j += 1
         if (j > digitStart && j < n && s.charAt(j) == ';') {
           val body = s.substring(digitStart, j)
-          val cp = if (hex) Integer.parseInt(body, 16) else Integer.parseInt(body)
-          if (Character.isValidCodePoint(cp)) out.appendCodePoint(cp)
+          val cp = entityCodePoint(body, hex) // overflow-safe (shared helper)
+          if (cp >= 0) out.appendCodePoint(cp)
           else out.append('�')
           i = j + 1
           consumed = true

@@ -13,7 +13,8 @@ import org.apache.spark.broadcast.Broadcast
  * Scope: the recurrent encoder is frozen (the reference ships no trained
  * weights; our frozen fixture defines it) and the dense readout layer is
  * trained — full-batch gradient descent where each epoch's gradient is a
- * `treeAggregate` over the distributed feature set. This is the
+ * per-partition aggregation over the distributed feature set, summed on
+ * the driver in fixed partition order (bit-reproducible). This is the
  * scale-correct shape for cluster training of a readout: features are
  * extracted once (the expensive forward pass, fully parallel), cached
  * columnar, and each epoch moves only `(H+1)·R` floats driver↔executors.
@@ -79,10 +80,10 @@ object Trainer {
    * the reference's actual training surface, optimizer included: rmsprop
    * with global-norm clipping at 25 over filtered cross-entropy
    * (models.py:27 `rmsprop(lr=config.lr, clipnorm=25.)`; Keras-0.x rmsprop
-   * defaults rho=0.9, eps=1e-6), full-batch and deterministic by
-   * construction (`optimizer = "sgd"` selects plain gradient descent).
-   * Each epoch is ONE
-   * `treeAggregate` over the cached sequences; the flat gradient vector is
+   * defaults rho=0.9, eps=1e-6), full-batch and BIT-deterministic: each
+   * epoch aggregates one flat gradient per partition and the driver sums
+   * them in fixed partition order (`optimizer = "sgd"` selects plain
+   * gradient descent). The flat gradient vector is
    * the whole model (~10^4 params, ~80 KB) regardless of corpus size —
    * executors do all the BPTT work in parallel, the driver applies the step.
    * Same model-selection rule as [[train]] (best dev precision gated on
@@ -143,18 +144,31 @@ object Trainer {
 
     for (epoch <- 1 to epochs) {
       val bc = spark.sparkContext.broadcast(flat)
-      val (grad, loss) = train.rdd.treeAggregate((new Array[Double](layout.total), 0.0))(
-        seqOp = { case ((g, l0), row) =>
+      // per-partition gradients, summed on the DRIVER in fixed partition
+      // order: a treeAggregate merges partials in task-COMPLETION order,
+      // which is not deterministic under parallel execution and can flip
+      // ulp-level double reassociation that rmsprop then compounds across
+      // epochs. Collecting P × ~80 KB flat gradients is metadata-sized at
+      // any corpus scale (P = partitions, not rows), and the fixed-order
+      // sum makes every epoch bit-reproducible.
+      val parts = train.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val g = new Array[Double](layout.total)
+        var l = 0.0
+        rows.foreach { row =>
           val mask = tc.maskRow(row.subjectNer, row.objectNer)
-          val l = Backprop.accumulate(bc.value, layout, retain,
+          l += Backprop.accumulate(bc.value, layout, retain,
             row.sequence, row.label, mask, g)
-          (g, l0 + l)
-        },
-        combOp = { case ((g1, l1), (g2, l2)) =>
-          var i = 0
-          while (i < g1.length) { g1(i) += g2(i); i += 1 }
-          (g1, l1 + l2) })
+        }
+        Iterator((pid, (g, l)))
+      }.collect().sortBy(_._1)
       bc.destroy()
+      val grad = new Array[Double](layout.total)
+      var loss = 0.0
+      parts.foreach { case (_, (g, l)) =>
+        var j = 0
+        while (j < g.length) { grad(j) += g(j); j += 1 }
+        loss += l
+      }
       // mean gradient, then clipnorm (global L2, Keras semantics): if
       // ||g|| > c, g *= c/||g||
       var norm2 = 0.0
@@ -324,11 +338,16 @@ object Trainer {
 
     for (epoch <- 1 to epochs) {
       val bc = spark.sparkContext.broadcast((w, bias))
-      // gradient of filtered CE wrt dense weights: dW = h ⊗ (p*mask' - y), db = p - y
-      val zero = (Array.ofDim[Double](hDim * rDim), Array.ofDim[Double](rDim), 0.0)
-      val (gw, gb, loss) = train.rdd.treeAggregate(zero)(
-        seqOp = { case ((gw0, gb0, l0), row) =>
-          val (wX, bX) = bc.value
+      // gradient of filtered CE wrt dense weights: dW = h ⊗ (p*mask' - y),
+      // db = p - y. Per-partition partials summed on the driver in FIXED
+      // partition order (same rationale as trainFull: treeAggregate merges
+      // in task-completion order — nondeterministic ulp reassociation).
+      val parts = train.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val (wX, bX) = bc.value
+        val gw0 = Array.ofDim[Double](hDim * rDim)
+        val gb0 = Array.ofDim[Double](rDim)
+        var l0 = 0.0
+        rows.foreach { row =>
           val logits = logitsOf(row, wX, bX)
           val mask = tc.maskRow(row.subjectNer, row.objectNer)
           val p = filteredSoftmax(logits, mask)
@@ -341,15 +360,21 @@ object Trainer {
             while (j < hDim) { gw0(j * rDim + r) += row.h(j) * g; j += 1 }
             r += 1
           }
-          (gw0, gb0, l0 - math.log(p(row.label)))
-        },
-        combOp = { case ((gw1, gb1, l1), (gw2, gb2, l2)) =>
-          var i = 0
-          while (i < gw1.length) { gw1(i) += gw2(i); i += 1 }
-          i = 0
-          while (i < gb1.length) { gb1(i) += gb2(i); i += 1 }
-          (gw1, gb1, l1 + l2) })
+          l0 -= math.log(p(row.label))
+        }
+        Iterator((pid, (gw0, gb0, l0)))
+      }.collect().sortBy(_._1)
       bc.destroy()
+      val gw = Array.ofDim[Double](hDim * rDim)
+      val gb = Array.ofDim[Double](rDim)
+      var loss = 0.0
+      parts.foreach { case (_, (gw1, gb1, l1)) =>
+        var i = 0
+        while (i < gw1.length) { gw(i) += gw1(i); i += 1 }
+        i = 0
+        while (i < gb1.length) { gb(i) += gb1(i); i += 1 }
+        loss += l1
+      }
       val nextW = Array.tabulate(hDim, rDim)((j, r) =>
         (w(j)(r) - lr * gw(j * rDim + r) / nTrain).toFloat)
       val nextB = Array.tabulate(rDim)(r => (bias(r) - lr * gb(r) / nTrain).toFloat)

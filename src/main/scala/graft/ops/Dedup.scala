@@ -353,9 +353,15 @@ object Dedup {
   }
 
   /** Near-dup clusters of a documents table: LSH candidate pairs → connected
-    * components; singletons keep their own id as cluster. */
-  def nearDupClusters(documents: DataFrame, maxBucket: Int = 10000): DataFrame = {
-    val pairs = lshCandidatePairs(documents, maxBucket)
+    * components; singletons keep their own id as cluster. Pass `sigs` (a
+    * precomputed [[minhashSignatures]] table with h1/h2) to reuse a shared
+    * signature table instead of recomputing the shingle hashes. */
+  def nearDupClusters(documents: DataFrame, maxBucket: Int = 10000,
+      sigs: Option[DataFrame] = None): DataFrame = {
+    val pairs = sigs
+      .map(sg => lshCandidatePairsFromSigs(
+        sg.select(col("doc_id"), col("h1"), col("h2")), maxBucket))
+      .getOrElse(lshCandidatePairs(documents, maxBucket))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val nodes = documents.select(col("doc_id").as("node"))
     connectedComponents(pairs, nodes)

@@ -297,21 +297,73 @@ object Similarity {
     best
   }
 
-  /** IVF ANN top-k: probe only the `nprobe` lists whose centroids are
-    * nearest the query, exact cosine inside them. At scale the list id is
-    * the table's partition key, so the probe is partition pruning — only
-    * nprobe/nlist of the corpus is scanned. */
-  def ivfCosineTopK(embeddings: DataFrame, queryVec: Array[Float], k: Int = 10,
-      nlist: Int = 8, nprobe: Int = 2, iters: Int = 5): DataFrame = {
-    graft.functions.VectorOps.register(embeddings.sparkSession)
-    val centroids = ivfCentroids(embeddings, nlist, iters)
+  /** The `nprobe` list ids whose centroids are L2-nearest the query
+    * (deterministic: distance, then list id, breaks ties). */
+  private def nearestLists(centroids: Array[Array[Double]], queryVec: Array[Float],
+      nprobe: Int): Seq[Int] = {
     val q = queryVec.map(_.toDouble)
-    val probeLists = centroids.zipWithIndex.map { case (cent, i) =>
+    centroids.zipWithIndex.map { case (cent, i) =>
       var d2 = 0.0
       var d = 0
       while (d < q.length) { val x = q(d) - cent(d); d2 += x * x; d += 1 }
       (d2, i)
-    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
+  }
+
+  /** Materialize the IVF index AS A TABLE partitioned by list id — the
+    * at-scale form [[ivfCentroids]]' doc promises: vectors land under their
+    * assigned coarse-quantizer list, and a query's `nprobe` probe lands on
+    * the PARTITION column, so only nprobe/nlist of the corpus is ever read
+    * (asserted on the physical plan in ScaleOpsSpec). The centroid table
+    * rides along under `_centroids/` — underscore-prefixed, so a plain
+    * parquet read of `path` never sees it. */
+  def writeIvfIndex(embeddings: DataFrame, path: String,
+      nlist: Int = 8, iters: Int = 5): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(embeddings, nlist, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    asDouble(embeddings).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, v) => (id, v, nearestCentroid(v, cents)) }
+      }.toDF("vec_id", "embedding", "list")
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list", "centroid")
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Query a materialized IVF index: pick the `nprobe` nearest lists from
+    * the stored centroid table, then scan ONLY those partitions (the list
+    * probe is partition pruning, not a post-scan filter). Results are
+    * identical to [[ivfCosineTopK]] at the same (nlist, nprobe, iters). */
+  def queryIvfIndex(spark: SparkSession, path: String, queryVec: Array[Float],
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    graft.functions.VectorOps.register(spark)
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .select(col("list"), col("centroid")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    val probeLists = nearestLists(centroids, queryVec, nprobe)
+    spark.read.parquet(path)
+      .filter(col("list").isInCollection(probeLists))
+      .select(col("vec_id"), round(cosineCol(queryVec), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF ANN top-k in one shot (centroids built in-query): probe only the
+    * `nprobe` lists whose centroids are nearest the query, exact cosine
+    * inside them. For an index serving MANY queries use [[writeIvfIndex]] /
+    * [[queryIvfIndex]], where the probe prunes partitions at the scan
+    * instead of re-assigning the corpus per query. */
+  def ivfCosineTopK(embeddings: DataFrame, queryVec: Array[Float], k: Int = 10,
+      nlist: Int = 8, nprobe: Int = 2, iters: Int = 5): DataFrame = {
+    graft.functions.VectorOps.register(embeddings.sparkSession)
+    val centroids = ivfCentroids(embeddings, nlist, iters)
+    val probeLists = nearestLists(centroids, queryVec, nprobe)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)

@@ -46,12 +46,22 @@ object Streaming {
   /** Stateful streaming dedup: dropDuplicates on a composite key with an
     * event-time watermark bounding state (the scale-safe form — state for
     * keys older than the watermark is evicted). Emits the surviving key set,
-    * which equals SELECT DISTINCT — the DuckDB oracle. */
-  def streamingDedup(spark: SparkSession, eventsPath: String): DataFrame = {
+    * which equals SELECT DISTINCT — the DuckDB oracle.
+    *
+    * `maxFilesPerTrigger > 0` rate-limits the source so AvailableNow runs
+    * REAL multi-micro-batch execution (state carries across batch
+    * boundaries); `batchCounter` receives the number of data batches that
+    * actually executed, so tests can assert > 1. */
+  def streamingDedup(spark: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Int = 0,
+      batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     val eventsDir = stageDir(eventsPath)
     val schema = spark.read.parquet(eventsDir).schema
     val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = spark.readStream.schema(schema).parquet(eventsDir)
+    val reader = spark.readStream.schema(schema)
+    val limited = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    val q = limited.parquet(eventsDir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "24 hours")
       .dropDuplicates("user_id", "event_type")
@@ -61,6 +71,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
+    batchCounter.foreach(_.set(q.recentProgress.count(_.numInputRows > 0)))
     q.stop()
     val out = spark.table(name).persist()
     out.count()
@@ -111,14 +122,20 @@ object Streaming {
     * batch pipeline in PipelineSpec). This is the production shape: stream
     * → raw append-only table → periodic compaction/dedup. */
   def streamingKgTriples(spark: SparkSession, pagesDir: String,
-      bundle: graft.kg.Pipeline.ScoringBundle): DataFrame = {
+      bundle: graft.kg.Pipeline.ScoringBundle,
+      maxFilesPerTrigger: Int = 0,
+      batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-stream-kg").toString
     val schema = spark.read.parquet(pagesDir).schema
     val bundleBc = spark.sparkContext.broadcast(bundle)
     val dict = graft.kg.Pipeline.entityDict(spark)
-    val q = spark.readStream.schema(schema).parquet(pagesDir)
+    val reader = spark.readStream.schema(schema)
+    val limited = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    val q = limited.parquet(pagesDir)
       .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        batchCounter.foreach(_.incrementAndGet())
         val pages = batch.as[graft.kg.Page]
         val scored = graft.kg.Pipeline.scorePages(pages.sparkSession, pages, bundleBc)
         graft.kg.Pipeline.linkBroadcast(scored, dict)
@@ -129,6 +146,11 @@ object Streaming {
       .start()
     q.processAllAvailable()
     q.stop()
-    graft.kg.Pipeline.dedupTriples(spark.read.parquet(s"$out/raw"))
+    // materialize (localCheckpoint is eager) so the staging dir can be
+    // deleted instead of leaking one temp tree per invocation
+    val result = graft.kg.Pipeline.dedupTriples(spark.read.parquet(s"$out/raw"))
+      .localCheckpoint()
+    graft.kg.Lineage.deleteRecursively(out)
+    result
   }
 }

@@ -195,7 +195,7 @@ object TextAnalysis {
     * anti-join; at corpus scale every stage keeps its own documented
     * shape. Exact DuckDB oracle (all components are SQL-expressible). */
   def curationPipeline(documents: DataFrame, minTokens: Int = 8,
-      minStopwordRatio: Double = 0.05): DataFrame = {
+      minStopwordRatio: Double = 0.05, sigs: Option[DataFrame] = None): DataFrame = {
     val allStops = stopwords.values.flatten.toSeq
     val nTok = size(toks(col("text")))
     val stopRatio = size(filter(toks(col("text")), t => t.isInCollection(allStops)))
@@ -212,7 +212,13 @@ object TextAnalysis {
       .filter(col("lang_guess") === "en")
       .filter(col("n_tokens") >= minTokens)
       .filter(col("stopword_ratio") >= minStopwordRatio)
-    val dupLosers = graft.ops.Dedup.lshCandidatePairs(documents)
+    // near-dup losers from the shared signature table when one is supplied
+    // (computed once per corpus and reused by every consumer — the at-scale
+    // contract of Dedup.lshCandidatePairsFromSigs), else from scratch
+    val dupLosers = sigs
+      .map(sg => graft.ops.Dedup.lshCandidatePairsFromSigs(
+        sg.select(col("doc_id"), col("h1"), col("h2"))))
+      .getOrElse(graft.ops.Dedup.lshCandidatePairs(documents))
       .select(col("doc_b").as("doc_id")).distinct()
     passed.join(dupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_guess"), col("n_tokens"),

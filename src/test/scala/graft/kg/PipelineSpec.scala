@@ -182,6 +182,49 @@ class PipelineSpec extends AnyFunSuite {
     } finally Lineage.deleteRecursively(dir)
   }
 
+  test("rate-limited stream (maxFilesPerTrigger=1) runs REAL multi-batch; triples unchanged") {
+    // the micro-batch-boundary-independence claim at actual boundaries:
+    // 6 source files × maxFilesPerTrigger=1 → ≥ 6 micro-batches through the
+    // scoring + linking + append path, then the batch dedup compaction must
+    // still emit exactly the batch pipeline's triple set
+    val dir = Files.createTempDirectory("graft-stream-multibatch").toString
+    try {
+      Pipeline.generatePages(spark, 80, withText = true).repartition(6)
+        .write.mode("overwrite").parquet(dir)
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val streamed = tripleSet(graft.ops.Streaming.streamingKgTriples(
+        spark, dir, Pipeline.buildBundle(),
+        maxFilesPerTrigger = 1, batchCounter = Some(batches)))
+      assert(batches.get() >= 3,
+        s"rate limit must force multiple micro-batches, got ${batches.get()}")
+      val batch = tripleSet(
+        Pipeline.extractTriples(spark, Pipeline.generatePages(spark, 80)))
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally Lineage.deleteRecursively(dir)
+  }
+
+  test("rate-limited streaming dedup carries state across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dedup-multibatch").toString
+    try {
+      // duplicates deliberately SPREAD across files so dedup state must
+      // survive batch boundaries for the result to equal SELECT DISTINCT
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(5).write.mode("overwrite").parquet(dir)
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val streamed = graft.ops.Streaming.streamingDedup(spark, dir,
+        maxFilesPerTrigger = 1, batchCounter = Some(batches))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(batches.get() >= 3,
+        s"rate limit must force multiple micro-batches, got ${batches.get()}")
+      val exact = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "event_type").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === exact)
+    } finally Lineage.deleteRecursively(dir)
+  }
+
   test("triple P/R vs frozen reference extractions >= 0.95 (BASELINE gate)") {
     val goldenPath = getClass.getResource("/golden_triples.tsv")
     assume(goldenPath != null, "golden fixture not yet generated — run graft.kg.GoldenGen")

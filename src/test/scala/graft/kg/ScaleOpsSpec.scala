@@ -176,6 +176,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(hit >= 2, s"IVF recall@10 too low: $hit/10")
   }
 
+  test("materialized IVF index: partition pruning on list, same results as one-shot") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    try {
+      graft.ops.Similarity.writeIvfIndex(rest, dir, nlist = 8, iters = 5)
+      val fromIndex = graft.ops.Similarity.queryIvfIndex(spark, dir, q, k = 10, nprobe = 2)
+      // the list probe must land on the PARTITION column (pruned scan)
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1").contains("list"),
+        s"list probe must prune partitions:\n$plan")
+      val a = fromIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = graft.ops.Similarity.ivfCosineTopK(rest, q, k = 10, nlist = 8,
+        nprobe = 2, iters = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a === b, "index query must match the one-shot IVF search")
+    } finally Lineage.deleteRecursively(dir)
+  }
+
   test("minhash64: identical docs identical sigs; jaccard estimate sane; k respected") {
     def doc(id: Long, text: String) = (id, text, "en")
     // two docs sharing ~half their 3-shingles

@@ -190,6 +190,27 @@ class StageSpec extends AnyFunSuite {
     assert(v.getDouble(0) === 11.0)
     assert(math.abs(v.getDouble(1) - 1.0) < 1e-12)
     assert(v.isNullAt(2), "length mismatch must yield null")
+    // null ELEMENTS propagate to null exactly like the aggregate/zip_with
+    // HOF forms they replaced (not silently treated as 0.0) — interpreted
+    // (literal fold) and codegen'd (column) paths both
+    val nulls = spark.sql(
+      """SELECT dot_product(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS d,
+                cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 0.0d)) AS c""").head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), "null element must yield null")
+    import spark.implicits._
+    val viaCol = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorOps.dot_product(
+        org.apache.spark.sql.functions.col("a"), org.apache.spark.sql.functions.col("b")).as("d"),
+        graft.functions.VectorOps.cosine_sim(
+          org.apache.spark.sql.functions.col("a"), org.apache.spark.sql.functions.col("b")).as("c"))
+      .head()
+    assert(viaCol.isNullAt(0) && viaCol.isNullAt(1), "codegen path: null element must yield null")
+    // the HOF reference forms agree (the scaladoc's bit-identical claim)
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d),
+                (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS d""").head()
+    assert(hof.isNullAt(0))
   }
 
   test("evaluation harness: pred.py lifecycle (score → micro PRF → report → wrongs)") {

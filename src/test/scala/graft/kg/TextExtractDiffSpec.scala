@@ -73,6 +73,10 @@ class TextExtractDiffSpec extends AnyFunSuite {
       "&#junk; &# ; &#x;",                        // malformed numerics stay
       "&unknown; &apos;x&quot;",
       "&#1114112;",                               // > max code point → U+FFFD
+      "&#99999999999999;",                        // overlong run: no overflow, U+FFFD
+      "&#xFFFFFFFFFFFF;",                         // overlong hex run → U+FFFD
+      "&#0000000065;x&#x0000000041;",             // leading zeros still decode (A)
+      "&#00000000000000000000065;",               // zeros beyond any cap still decode
       "  a\t\tb   \r c  ",                        // whitespace collapse
       "\u000Bx\fy",                               // vertical tab / form feed
       "line1<br>line2<br/>line3",

@@ -123,6 +123,20 @@ object SparkEntry {
         .log.toDF()
     }),
 
+    // FULL-model training for the GRU cell (get_rnn "gru" → keras 0.x GRU,
+    // models.py:29-30): BPTT through embeddings+GRU+readout, same rmsprop/
+    // clipnorm-25 lifecycle, gradient kernel FD-checked (BackpropSpec)
+    "kg_train_gru" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val trainSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val devSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      graft.kg.Trainer.trainFullGru(s, trainSeq, devSeq, bundleBc, epochs = 5)
+        .log.toDF()
+    }),
+
     // M1 model-zoo dispatch: every model shape × both cell types scores the
     // same labeled split (sent channel for single*, 4-channel for concat)
     "kg_model_zoo" -> ((s, _) => {

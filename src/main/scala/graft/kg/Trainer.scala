@@ -244,6 +244,122 @@ object Trainer {
     FullTrainResult(weights, log.toSeq, bestEpoch)
   }
 
+  final case class GruTrainResult(flat: Array[Double], log: Seq[EpochMetrics], bestEpoch: Int)
+
+  /**
+   * FULL-model training for the GRU config — the zoo's second trainable
+   * cell (reference `get_rnn` maps "gru" to keras 0.x GRU, models.py:29-30;
+   * train.py trains whatever `get_model` returns). Same shape as
+   * [[trainFull]]: rmsprop + clipnorm 25 over filtered cross-entropy, one
+   * per-partition flat gradient per epoch summed driver-side in fixed
+   * partition order (bit-deterministic), best-dev-precision model selection
+   * gated on f1 > 0.3. The GRU parameters start from the deterministic
+   * seeded fixture ([[BackpropGru.init]]) sized to the bundle's vocab/
+   * embedding/hidden/relations; gradient kernel is FD-checked in
+   * BackpropSpec.
+   */
+  def trainFullGru(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
+      bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
+      optimizer: String = "rmsprop", clipNorm: Double = 25.0,
+      seed: Long = 42L): GruTrainResult = {
+    val b = bundleBc.value
+    val layout = BackpropGru.Layout(b.word.size, b.weights.embDim, b.weights.hidden, b.rel.size)
+    val retain = (1f - b.weights.dropout).toDouble
+    val noRel = b.rel("no_relation")
+    val tc = b.typechecker
+    val rDim = b.rel.size
+
+    val train = trainSeq.cache()
+    val dev = devSeq.cache()
+    val nTrain = train.count().toDouble
+    require(nTrain > 0, "empty training split")
+
+    var flat = BackpropGru.init(layout, seed)
+
+    def devMetrics(fw: Array[Double]): (Double, Double, Double, Double) = {
+      val bc = spark.sparkContext.broadcast(fw)
+      val (tp, predPos, targPos, correct, total) = dev.rdd.treeAggregate((0L, 0L, 0L, 0L, 0L))(
+        seqOp = { case ((tp0, pp0, gp0, c0, n0), row) =>
+          val logits = BackpropGru.logits(bc.value, layout, retain, row.sequence)
+          val mask = tc.maskRow(row.subjectNer, row.objectNer)
+          var best = 0
+          var mx = logits(0) * mask(0)
+          var r = 1
+          while (r < rDim) { val v = logits(r) * mask(r); if (v > mx) { mx = v; best = r }; r += 1 }
+          (tp0 + (if (best == row.label && row.label != noRel) 1L else 0L),
+           pp0 + (if (best != noRel) 1L else 0L),
+           gp0 + (if (row.label != noRel) 1L else 0L),
+           c0 + (if (best == row.label) 1L else 0L),
+           n0 + 1L)
+        },
+        combOp = { case ((a1, a2, a3, a4, a5), (b1, b2, b3, b4, b5)) =>
+          (a1 + b1, a2 + b2, a3 + b3, a4 + b4, a5 + b5) })
+      bc.destroy()
+      val p = if (predPos == 0) 0.0 else tp.toDouble / predPos
+      val rc = if (targPos == 0) 0.0 else tp.toDouble / targPos
+      val f1 = if (p + rc == 0) 0.0 else 2 * p * rc / (p + rc)
+      (p, rc, f1, if (total == 0) 0.0 else correct.toDouble / total)
+    }
+
+    val log = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
+    var best: Option[(Int, Double, Array[Double])] = None
+    val rho = 0.9
+    val eps = 1e-6
+    val cache = new Array[Double](layout.total)
+
+    for (epoch <- 1 to epochs) {
+      val bc = spark.sparkContext.broadcast(flat)
+      val parts = train.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val g = new Array[Double](layout.total)
+        var l = 0.0
+        rows.foreach { row =>
+          val mask = tc.maskRow(row.subjectNer, row.objectNer)
+          l += BackpropGru.accumulate(bc.value, layout, retain,
+            row.sequence, row.label, mask, g)
+        }
+        Iterator((pid, (g, l)))
+      }.collect().sortBy(_._1)
+      bc.destroy()
+      val grad = new Array[Double](layout.total)
+      var loss = 0.0
+      parts.foreach { case (_, (g, l)) =>
+        var j = 0
+        while (j < g.length) { grad(j) += g(j); j += 1 }
+        loss += l
+      }
+      var norm2 = 0.0
+      var i = 0
+      while (i < grad.length) { grad(i) /= nTrain; norm2 += grad(i) * grad(i); i += 1 }
+      val norm = math.sqrt(norm2)
+      val scale = if (clipNorm > 0 && norm > clipNorm) clipNorm / norm else 1.0
+      val next = new Array[Double](layout.total)
+      i = 0
+      if (optimizer == "rmsprop") {
+        while (i < next.length) {
+          val g = grad(i) * scale
+          cache(i) = rho * cache(i) + (1 - rho) * g * g
+          next(i) = flat(i) - lr * g / (math.sqrt(cache(i)) + eps)
+          i += 1
+        }
+      } else {
+        while (i < next.length) { next(i) = flat(i) - lr * grad(i) * scale; i += 1 }
+      }
+      flat = next
+      val (p, rc, f1, acc) = devMetrics(flat)
+      val m = EpochMetrics(epoch, loss / nTrain, p, rc, f1, acc)
+      log += m
+      if (m.devF1 > 0.3 && best.forall(_._2 < m.devPrecision))
+        best = Some((epoch, m.devPrecision, flat.clone()))
+    }
+
+    train.unpersist(); dev.unpersist()
+    val (bestEpoch, bestFlat) = best match {
+      case Some((e, _, w)) => (e, w)
+      case None => (epochs, flat)
+    }
+    GruTrainResult(bestFlat, log.toSeq, bestEpoch)
+  }
+
   /** Masked, clipped, renormalized softmax (typecheck.py:28-39). */
   private def filteredSoftmax(logits: Array[Double], mask: Array[Float]): Array[Double] = {
     val n = logits.length

@@ -78,6 +78,65 @@ class BackpropSpec extends AnyFunSuite {
     assert(g(layout.denseB + 2) === 0.0)
   }
 
+  test("GRU BPTT gradient matches central finite differences everywhere") {
+    val layout = BackpropGru.Layout(vocab = 12, embDim = 4, hidden = 5, relSize = 4)
+    val flat = BackpropGru.init(layout, seed = 3L)
+    val retain = 0.5
+    def total(f: Array[Double]): Double = {
+      val scratch = new Array[Double](layout.total)
+      seqs.map { case (s, y) =>
+        BackpropGru.accumulate(f, layout, retain, s, y, mask, scratch)
+      }.sum
+    }
+    val analytic = new Array[Double](layout.total)
+    seqs.foreach { case (s, y) =>
+      BackpropGru.accumulate(flat, layout, retain, s, y, mask, analytic)
+    }
+    val eps = 1e-6
+    var checked = 0
+    var worst = 0.0
+    var i = 0
+    while (i < layout.total) {
+      val orig = flat(i)
+      flat(i) = orig + eps
+      val lp = total(flat)
+      flat(i) = orig - eps
+      val lm = total(flat)
+      flat(i) = orig
+      val numeric = (lp - lm) / (2 * eps)
+      val denom = math.max(1e-5, math.abs(numeric) + math.abs(analytic(i)))
+      val rel = math.abs(numeric - analytic(i)) / denom
+      if (rel > worst) worst = rel
+      assert(rel < 1e-4,
+        s"GRU grad mismatch at flat[$i]: analytic=${analytic(i)} numeric=$numeric rel=$rel")
+      checked += 1
+      i += 3
+    }
+    assert(checked > 60)
+    assert(worst < 1e-4)
+  }
+
+  test("GRU forward matches the zoo GruCell recurrence on hand-checked algebra") {
+    // pin the recurrence itself: one step from h=0 must equal
+    // (1 - hsig(bz + Wz x)) * tanh(bh + Wh x)  (r is irrelevant at h=0)
+    val l = BackpropGru.Layout(vocab = 3, embDim = 2, hidden = 2, relSize = 2)
+    val f = BackpropGru.init(l, seed = 9L)
+    val retain = 1.0
+    val logits = BackpropGru.logits(f, l, retain, Array(1))
+    // recompute by hand from the flat layout
+    def hsig(x: Double) = math.max(0.0, math.min(1.0, 0.2 * x + 0.5))
+    val x = Array(f(l.emb + 1 * 2 + 0), f(l.emb + 1 * 2 + 1))
+    val h = Array.tabulate(2) { j =>
+      val gz = f(l.bZ + j) + x(0) * f(l.wZ + 0 * 2 + j) + x(1) * f(l.wZ + 1 * 2 + j)
+      val gh = f(l.bH + j) + x(0) * f(l.wH + 0 * 2 + j) + x(1) * f(l.wH + 1 * 2 + j)
+      (1 - hsig(gz)) * math.tanh(gh)
+    }
+    val expect = Array.tabulate(2) { r =>
+      f(l.denseB + r) + h(0) * f(l.dense + 0 * 2 + r) + h(1) * f(l.dense + 1 * 2 + r)
+    }
+    logits.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("double-precision training forward agrees with the float inference kernel") {
     val bundle = Pipeline.buildBundle()
     val flat = Backprop.flatten(bundle.weights)

@@ -93,6 +93,27 @@ class TrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("FULL-model GRU training learns and is bit-deterministic") {
+    val trainEx = spark.range(400).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(400, 520).map(i => Gen.labeledExample(42L, i))
+    val tf = Trainer.extractSequences(spark, trainEx, bundleBc)
+    val df = Trainer.extractSequences(spark, devEx, bundleBc)
+    val r1 = Trainer.trainFullGru(spark, tf, df, bundleBc, epochs = 6)
+    info(r1.log.map(m => f"epoch ${m.epoch}: loss ${m.trainLoss}%.4f acc ${m.devAccuracy}%.3f").mkString("; "))
+    assert(r1.log.length === 6)
+    assert(r1.log.last.trainLoss < r1.log.head.trainLoss,
+      s"GRU full-model loss must drop: ${r1.log.head.trainLoss} -> ${r1.log.last.trainLoss}")
+    // training moved the parameters away from the seeded fixture
+    val layout = BackpropGru.Layout(bundleBc.value.word.size,
+      bundleBc.value.weights.embDim, bundleBc.value.weights.hidden, bundleBc.value.rel.size)
+    val init = BackpropGru.init(layout)
+    assert(r1.flat.toSeq !== init.toSeq)
+    // bit-deterministic under the fixed-partition-order gradient sum
+    val r2 = Trainer.trainFullGru(spark, tf, df, bundleBc, epochs = 6)
+    assert(r1.flat.toSeq === r2.flat.toSeq)
+    r1.log.zip(r2.log).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("training is deterministic (same data, same epochs → same weights)") {
     val trainEx = spark.range(200).map(i => Gen.labeledExample(42L, i))
     val devEx = spark.range(200, 260).map(i => Gen.labeledExample(42L, i))

@@ -50,9 +50,26 @@ object Bench {
       name -> secs.min
     }
 
+    // ANN recall telemetry AT BENCH SCALE (not just the sf0.001 unit test):
+    // the production banded-LSH operator over the FULL embeddings table,
+    // measured against exact all-pairs ground truth on a bounded id slice —
+    // cap-induced recall decay shows up here instead of being assumed away.
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val recallCap = 2000
+    val exactPairs = graft.ops.Similarity.cosineNearDupPairs(emb, recallCap, 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annPairs = graft.ops.Similarity.annCandidatePairs(emb, 0.3)
+      .filter(col("id_a") < recallCap && col("id_b") < recallCap)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annRecall =
+      if (exactPairs.isEmpty) 1.0
+      else (annPairs intersect exactPairs).size.toDouble / exactPairs.size
+    require(annRecall >= 0.9, s"ANN recall $annRecall < 0.9 over ${exactPairs.size} exact pairs")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + kgSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pages":$kgPages,"kg_triples":$kgTriples,"kg_sec":$kgSec,"pages_per_sec":${kgPages / kgSec},"triples_per_sec":${kgTriples / kgSec}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pages":$kgPages,"kg_triples":$kgTriples,"kg_sec":$kgSec,"pages_per_sec":${kgPages / kgSec},"triples_per_sec":${kgTriples / kgSec},"ann_recall":$annRecall,"ann_recall_exact_pairs":${exactPairs.size}}""")
     spark.stop()
   }
 }

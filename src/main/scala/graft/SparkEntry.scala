@@ -434,6 +434,29 @@ object SparkEntry {
         .getSeq[Float](0).toArray
       Similarity.ivfCosineTopK(e.filter(col("vec_id") =!= 0), q, 10)
     }),
+    // materialized-index paths IN the battery: write the index once to a
+    // staging dir, probe it through partition pruning, return the top-k
+    // (results pinned equal to the in-memory/one-shot forms by ScaleOpsSpec)
+    "q_ann_lsh_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      val idx = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+      try {
+        Similarity.writeLshIndex(e.filter(col("vec_id") =!= 0), idx)
+        Similarity.queryLshIndex(s, idx, q, 10).localCheckpoint()
+      } finally graft.kg.Lineage.deleteRecursively(idx)
+    }),
+    "q_ann_ivf_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).toArray
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+      try {
+        Similarity.writeIvfIndex(e.filter(col("vec_id") =!= 0), idx)
+        Similarity.queryIvfIndex(s, idx, q, 10).localCheckpoint()
+      } finally graft.kg.Lineage.deleteRecursively(idx)
+    }),
     "q_nn_join" -> ((s, dir) => Similarity.nearestNeighborJoin(t(s, dir, "embeddings"), 100)),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 150, 0.3)),

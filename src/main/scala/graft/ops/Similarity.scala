@@ -216,6 +216,19 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** [[annCandidatePairs]] with `planesPerBand` sized from the ACTUAL
+    * corpus count via [[planesForCorpus]] — the production entry point when
+    * n is not known ahead of time (one count() scan, then the banding plan
+    * is built with the right bucket granularity for that n). */
+  def annCandidatePairsAuto(embeddings: DataFrame, minCosine: Double = 0.3,
+      bands: Int = 12, targetBucketSize: Int = 10000, maxBucket: Int = 10000,
+      seed: Long = 7L,
+      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val n = embeddings.count()
+    annCandidatePairs(embeddings, minCosine, bands,
+      planesForCorpus(n, targetBucketSize), maxBucket, seed, droppedAcc)
+  }
+
   /** Batch approximate kNN join over the banded-LSH candidate pairs: every
     * vector's top-k neighbors among its LSH candidates above `minCosine`.
     * The ranking window is PARTITIONED by vector id — parallel, never a

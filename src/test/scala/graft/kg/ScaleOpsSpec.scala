@@ -119,6 +119,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(planesForCorpus(Long.MaxValue, 1) === 30)      // clamped
   }
 
+  test("annCandidatePairsAuto wires the corpus count into the banding plan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    // a target that resolves to the default 3 planes must reproduce the
+    // default operator exactly (the wrapper only chooses the granularity)
+    val target = math.max(1, ((n + 7) / 8).toInt) // ratio ≤ 8 → ceil(log2) = 3
+    assert(graft.ops.Similarity.planesForCorpus(n, target) === 3)
+    val auto = graft.ops.Similarity.annCandidatePairsAuto(emb, 0.3, targetBucketSize = target)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = graft.ops.Similarity.annCandidatePairs(emb, 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === fixed)
+  }
+
   test("lshCandidatePairsFromSigs: mega-bucket bounded, overflow counted") {
     val text = (0 until 20).map(i => s"w$i").mkString(" ")
     val d = (0L until 40L).map(i => (i, text, "en")).toDF("doc_id", "text", "lang")

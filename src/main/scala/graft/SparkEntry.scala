@@ -413,6 +413,19 @@ object SparkEntry {
     }),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), cap = 200)),
+    // benchmark decontamination: every 97th doc plays the eval set; docs
+    // sharing any 5-gram with it (the set itself + its near-verbatim dups)
+    // are dropped before training
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.decontaminate(d, d.filter(col("doc_id") % 97 === 0), n = 5)
+    }),
+    // deterministic mixture sampling: per-lang content-hash keep rates
+    // (en 50%, es 25%, de 12.5%, fr 6.25%, zh 3.1%; everything else 0)
+    "q_mixture_sample" -> ((s, dir) =>
+      TextAnalysis.mixtureSample(t(s, dir, "documents"), Map(
+        "en" -> "8000", "es" -> "4000", "de" -> "2000",
+        "fr" -> "1000", "zh" -> "0800"))),
 
     // ---- similarity search -----------------------------------------------------
     "q_embed_topk" -> ((s, dir) => {
@@ -785,6 +798,28 @@ object SparkEntry {
          SELECT doc_a, doc_b,
            CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) AS jaccard
          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id""",
+
+    "q_decontaminate" ->
+      """WITH bench AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0),
+         bix AS (SELECT t, UNNEST(generate_series(1, len(t) - 4)) AS i FROM bench),
+         bsh AS (SELECT DISTINCT
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) AS sh
+           FROM bix),
+         d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         dix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 4)) AS i FROM d),
+         dsh AS (SELECT doc_id,
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) AS sh
+           FROM dix),
+         bad AS (SELECT DISTINCT doc_id FROM dsh WHERE sh IN (SELECT sh FROM bsh))
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    "q_mixture_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substr(md5(text), 1, 4) <
+           CASE lang WHEN 'en' THEN '8000' WHEN 'es' THEN '4000'
+                     WHEN 'de' THEN '2000' WHEN 'fr' THEN '1000'
+                     WHEN 'zh' THEN '0800' ELSE '0000' END""",
 
     "q_embed_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)

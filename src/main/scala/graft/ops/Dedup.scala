@@ -373,6 +373,32 @@ object Dedup {
       .select(col("node").as("doc_id"), col("cluster"))
   }
 
+  /**
+   * Benchmark DECONTAMINATION: drop every document sharing at least one
+   * n-token shingle with a benchmark/eval table — the standard
+   * n-gram-overlap hygiene pass a training corpus runs against its eval
+   * benchmarks before training.
+   *
+   * Scale shape: the benchmark is tiny next to the corpus, so its distinct
+   * shingle-hash set BROADCASTS; the corpus side is one narrow shingle
+   * explode + a broadcast left-semi probe + a broadcast left-anti on the
+   * flagged ids — the 100 TB corpus is never shuffled at all. Exact DuckDB
+   * oracle (same md5 shingle construction both engines).
+   */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shingles(col("text"), n)).as("shingle"))
+      .select(md5(col("shingle")).as("sh")).distinct()
+    val docShingles = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("sh"))
+    val contaminated = docShingles
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    documents.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** N-gram (3-shingle-set) Jaccard similarity for candidate pairs within
     * the same lang, restricted to doc_id < cap (the quadratic demo is
     * bounded; the scale path is LSH above). */

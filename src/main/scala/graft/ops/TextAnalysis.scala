@@ -131,6 +131,23 @@ object TextAnalysis {
       .filter(substring(md5(col("text")), 1, hexBound.length) < lit(hexBound))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Deterministic data-MIXTURE sampling: per-group keep rates applied via
+    * content-hash thresholds — the reproducible way to hit a target
+    * language/source mixture at corpus scale. No rand(): the keep decision
+    * is a pure function of the row (md5(text) hex prefix vs the group's
+    * 4-hex-digit bound, rate = value/65536), so the sample is identical on
+    * any cluster size, any engine, and any re-run — and the filter is a
+    * narrow predicate that pushes toward the scan. Groups absent from
+    * `rates` are dropped (bound "0000"). */
+  def mixtureSample(documents: DataFrame, rates: Map[String, String]): DataFrame = {
+    val bound = rates.toSeq.sortBy(_._1).foldLeft(lit("0000")) {
+      case (acc, (lang, b)) => when(col("lang") === lang, lit(b)).otherwise(acc)
+    }
+    documents
+      .filter(substring(md5(col("text")), 1, 4) < bound)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** TF-IDF top-k terms per document. The idf is the DIVISION-EXACT form
     * score = tf · N / df (products of exact ints in double, one IEEE
     * division — bit-identical across engines, unlike ln-based idf whose

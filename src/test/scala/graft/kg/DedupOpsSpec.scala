@@ -79,6 +79,45 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(clusters.size === 5)
   }
 
+  test("decontamination drops every doc sharing an n-gram with the benchmark") {
+    // benchmark = doc 1; docs 2 and 5 are verbatim copies, doc 3 shifts one
+    // token but still shares 5-grams with the head of doc 1; doc 4 is clean
+    val bench = d.filter(col("doc_id") === 1)
+    val kept = graft.ops.Dedup.decontaminate(d, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(4L), s"only the clean doc survives: $kept")
+    // a shorter n catches nothing extra here; a benchmark with no overlap
+    // drops nothing
+    val cleanBench = docs((99L, "totally unrelated benchmark text rows here", "en"))
+    val keptAll = graft.ops.Dedup.decontaminate(d, cleanBench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAll === Set(1L, 2L, 3L, 4L, 5L))
+    // the corpus is never shuffled: benchmark probe and anti-join broadcast
+    val plan = graft.ops.Dedup.decontaminate(d, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
+  }
+
+  test("mixture sampling: deterministic, per-group rates, absent groups dropped") {
+    val many = docs((1L to 400L).map(i => (i, s"doc number $i payload", if (i % 2 == 0) "en" else "fr")): _*)
+    val sampled = graft.ops.TextAnalysis.mixtureSample(many,
+      Map("en" -> "8000", "fr" -> "2000"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // deterministic: same input → same sample
+    val again = graft.ops.TextAnalysis.mixtureSample(many,
+      Map("en" -> "8000", "fr" -> "2000"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sampled.toSeq.sorted === again.toSeq.sorted)
+    val en = sampled.count(_._2 == "en").toDouble / 200
+    val fr = sampled.count(_._2 == "fr").toDouble / 200
+    assert(math.abs(en - 0.5) < 0.15, s"en keep rate $en should be ~0.5")
+    assert(math.abs(fr - 0.125) < 0.1, s"fr keep rate $fr should be ~0.125")
+    // group without a rate vanishes
+    val noFr = graft.ops.TextAnalysis.mixtureSample(many, Map("en" -> "8000"))
+      .collect().map(r => r.getString(1)).toSet
+    assert(noFr === Set("en"))
+  }
+
   test("winnowing fingerprints: shared substrings yield shared fingerprints") {
     import graft.ops.TextAnalysis.winnow
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"

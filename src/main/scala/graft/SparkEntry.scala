@@ -420,6 +420,9 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Dedup.decontaminate(d, d.filter(col("doc_id") % 97 === 0), n = 5)
     }),
+    // Gopher-style repetition quality gates (distinct ratio, top-token and
+    // top-2gram fractions)
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"))),
     // deterministic mixture sampling: per-lang content-hash keep rates
     // (en 50%, es 25%, de 12.5%, fr 6.25%, zh 3.1%; everything else 0)
     "q_mixture_sample" -> ((s, dir) =>
@@ -813,6 +816,25 @@ object SparkEntry {
          bad AS (SELECT DISTINCT doc_id FROM dsh WHERE sh IN (SELECT sh FROM bsh))
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM d),
+         tok AS (SELECT doc_id, UNNEST(t) AS token FROM d),
+         t1 AS (SELECT doc_id, MAX(c) AS top1 FROM
+                (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+                GROUP BY doc_id),
+         gix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i FROM d),
+         g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gr FROM gix),
+         t2 AS (SELECT doc_id, MAX(c) AS top2 FROM
+                (SELECT doc_id, gr, COUNT(*) AS c FROM g GROUP BY 1, 2)
+                GROUP BY doc_id)
+         SELECT b.doc_id, b.n_tokens,
+           CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS distinct_ratio,
+           CAST(t1.top1 AS DOUBLE) / b.n_tokens AS top_token_frac,
+           CAST(COALESCE(t2.top2, 0) AS DOUBLE) / GREATEST(b.n_tokens - 1, 1) AS top_2gram_frac
+         FROM base b JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)""",
 
     "q_mixture_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -131,6 +131,38 @@ object TextAnalysis {
       .filter(substring(md5(col("text")), 1, hexBound.length) < lit(hexBound))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Gopher-style REPETITION signals per document — the standard
+    * repetition quality gates for web-corpus curation (distinct-token
+    * ratio, most-common-token fraction, most-common-2-gram fraction; a
+    * boilerplate/spam page scores low distinct ratio and high top-k-gram
+    * fractions). Scale shape: one narrow per-doc pass for the base stats
+    * plus two doc-keyed groupBy chains (token and 2-gram max counts) —
+    * every shuffle keyed by doc_id, map-side partials free, nothing
+    * global; ratios are exact-int divisions (cross-engine identical). */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val base = documents.select(col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"))
+    val top1 = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_token_cnt"))
+    val top2 = documents
+      .select(col("doc_id"), explode(graft.ops.Dedup.shingles(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_2gram_cnt"))
+    base.join(top1, Seq("doc_id")).join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"),
+        (col("top_token_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        (coalesce(col("top_2gram_cnt"), lit(0L)).cast("double") /
+          greatest(col("n_tokens") - 1, lit(1L)).cast("double"))
+          .as("top_2gram_frac"))
+  }
+
   /** Deterministic data-MIXTURE sampling: per-group keep rates applied via
     * content-hash thresholds — the reproducible way to hit a target
     * language/source mixture at corpus scale. No rand(): the keep decision

@@ -118,6 +118,17 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(noFr === Set("en"))
   }
 
+  test("repetition stats: hand-checked ratios on a known document") {
+    val one = docs((1L, "a a a b", "en"), (2L, "x", "en"))
+    val got = graft.ops.TextAnalysis.repetitionStats(one)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1: 4 tokens, 2 distinct; top token 'a'×3; 2-grams "a a"×2,"a b"×1
+    assert(got(1L) === ((4L, 0.5, 0.75, 2.0 / 3.0)))
+    // doc 2: single token, no 2-grams → top_2gram_frac 0 with the n=1 guard
+    assert(got(2L) === ((1L, 1.0, 1.0, 0.0)))
+  }
+
   test("winnowing fingerprints: shared substrings yield shared fingerprints") {
     import graft.ops.TextAnalysis.winnow
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"

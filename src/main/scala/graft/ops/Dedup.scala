@@ -27,16 +27,23 @@ object Dedup {
 
   private def tokens(c: Column): Column = split(c, " ")
 
-  /** 3-token shingles as a Column (pure HOFs — codegen'd): shingle i joins
-    * tokens i..i+2; trailing positions yield null and are filtered. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val t = tokens(c)
-    filter(
-      transform(t, (_, i) =>
-        when(i <= size(t) - n,
-          concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))),
-      x => x.isNotNull)
-  }
+  /** n-token shingles as a Column (pure HOFs — codegen'd): shingle i joins
+    * tokens i..i+n-1; trailing positions yield null and are filtered.
+    *
+    * The token array is BOUND ONCE per row through an outer
+    * `transform(array(split(...)), t => ...)` lambda variable: if the
+    * inner lambda referenced the raw `split` expression directly, every
+    * element would re-tokenize the whole document (size + n element_at
+    * each re-evaluating split → O(n²) re-splits per doc; measured 20×
+    * slower on the corpus — see ShingleProbe). With the lambda binding,
+    * `element_at`/`size` hit the evaluated array in O(1). */
+  def shingles(c: Column, n: Int = 3): Column =
+    flatten(transform(array(tokens(c)), t =>
+      filter(
+        transform(t, (_, i) =>
+          when(i <= size(t) - n,
+            concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))),
+        x => x.isNotNull)))
 
   /** Exact dedup (A9 analog): one representative per distinct text digest. */
   def exact(documents: DataFrame): DataFrame =

@@ -106,7 +106,10 @@ object Dedup {
       } else {
         val n = buf.size
         buf += id
-        Iterator.range(0, n).map(i => (buf(i), id))
+        // strict <: duplicate ids never self-pair (parity with the strict
+        // y > x of the expression form this replaced)
+        Iterator.range(0, n).flatMap(i =>
+          if (buf(i) < id) Some((buf(i), id)) else None)
       }
     }
   }
@@ -221,7 +224,8 @@ object Dedup {
             ids += id; sims += sim
             Iterator.range(0, n).flatMap { i =>
               val h = java.lang.Long.bitCount(sims(i) ^ sim)
-              if (h <= maxHamming) Some((ids(i), id, h)) else None
+              // strict <: duplicate ids never self-pair
+              if (h <= maxHamming && ids(i) < id) Some((ids(i), id, h)) else None
             }
           }
         }

@@ -147,8 +147,11 @@ object Similarity {
         val n = buf.size
         buf += id
         // lazy: flatMap exhausts this before touching the next row, and
-        // appends never move indices 0..n-1 — no per-row array copy
-        Iterator.range(0, n).map(i => (buf(i), id))
+        // appends never move indices 0..n-1 — no per-row array copy.
+        // strict < (duplicate ids never self-pair, matching the strict
+        // y > x of the expression form this replaced)
+        Iterator.range(0, n).flatMap(i =>
+          if (buf(i) < id) Some((buf(i), id)) else None)
       }
     }
   }

@@ -111,6 +111,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(acc.value === 12L * (2000 - 50), s"dropped ids must be counted: ${acc.value}")
   }
 
+  test("duplicate ids in a bucket never self-pair (strict-< parity with the old form)") {
+    val emb = Seq((7L, Array.fill(8)(0.5f)), (7L, Array.fill(8)(0.5f)),
+      (9L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val pairs = graft.ops.Similarity.annCandidatePairs(emb, minCosine = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((7L, 9L)), s"no (7,7) self-pair: $pairs")
+    val d = Seq((7L, "w0 w1 w2 w3 w4", "en"), (7L, "w0 w1 w2 w3 w4", "en"),
+      (9L, "w0 w1 w2 w3 w4", "en")).toDF("doc_id", "text", "lang")
+    val lsh = graft.ops.Dedup.lshCandidatePairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === Set((7L, 9L)), s"no (7,7) self-pair: $lsh")
+  }
+
   test("planesForCorpus targets a constant bucket population as n grows") {
     import graft.ops.Similarity.planesForCorpus
     assert(planesForCorpus(1000L, 10000) === 1)           // tiny corpus → min 1

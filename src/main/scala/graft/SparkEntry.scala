@@ -137,6 +137,22 @@ object SparkEntry {
         .log.toDF()
     }),
 
+    // MUT1-3 (JZS) full-model training — with lstm+gru above, every
+    // recurrent cell of the zoo now TRAINS (BackpropMut, FD-checked per
+    // variant); one epoch-log row per (variant, epoch)
+    "kg_train_mut" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val trainSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val devSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      (1 to 3).map { variant =>
+        graft.kg.Trainer.trainFullMut(s, variant, trainSeq, devSeq, bundleBc, epochs = 3)
+          .log.toDF().withColumn("variant", lit(variant))
+      }.reduce(_ unionByName _)
+    }),
+
     // M1 model-zoo dispatch: every model shape × both cell types scores the
     // same labeled split (sent channel for single*, 4-channel for concat)
     "kg_model_zoo" -> ((s, _) => {

@@ -264,6 +264,57 @@ object Trainer {
       seed: Long = 42L): GruTrainResult = {
     val b = bundleBc.value
     val layout = BackpropGru.Layout(b.word.size, b.weights.embDim, b.weights.hidden, b.rel.size)
+    trainFlat(spark, trainSeq, devSeq, bundleBc,
+      new FlatKernel {
+        val total: Int = layout.total
+        def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
+          BackpropGru.logits(f, layout, retain, seq)
+        def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
+            mask: Array[Float], grad: Array[Double]): Double =
+          BackpropGru.accumulate(f, layout, retain, seq, label, mask, grad)
+      },
+      BackpropGru.init(layout, seed), epochs, lr, optimizer, clipNorm)
+  }
+
+  /** MUT1/2/3 (JZS) full-model training — same lifecycle over the
+    * [[BackpropMut]] kernel (FD-checked per variant); with the LSTM and
+    * GRU this makes EVERY recurrent cell of the zoo trainable. */
+  def trainFullMut(spark: SparkSession, variant: Int,
+      trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
+      bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
+      optimizer: String = "rmsprop", clipNorm: Double = 25.0,
+      seed: Long = 42L): GruTrainResult = {
+    require(variant >= 1 && variant <= 3, s"mut variant $variant")
+    val b = bundleBc.value
+    val layout = BackpropMut.Layout(b.word.size, b.weights.embDim, b.weights.hidden, b.rel.size)
+    trainFlat(spark, trainSeq, devSeq, bundleBc,
+      new FlatKernel {
+        val total: Int = layout.total
+        def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
+          BackpropMut.logits(variant, f, layout, retain, seq)
+        def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
+            mask: Array[Float], grad: Array[Double]): Double =
+          BackpropMut.accumulate(variant, f, layout, retain, seq, label, mask, grad)
+      },
+      BackpropMut.init(layout, variant, seed), epochs, lr, optimizer, clipNorm)
+  }
+
+  /** A flat-parameter sequence model the generic trainer can drive. */
+  private trait FlatKernel extends Serializable {
+    def total: Int
+    def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double]
+    def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
+        mask: Array[Float], grad: Array[Double]): Double
+  }
+
+  /** The shared full-model epoch loop (rmsprop/clipnorm, fixed-partition-
+    * order gradient sums, reference model selection) over any
+    * [[FlatKernel]] — numerically identical to the original inlined loop. */
+  private def trainFlat(spark: SparkSession, trainSeq: Dataset[SeqRow],
+      devSeq: Dataset[SeqRow], bundleBc: Broadcast[Pipeline.ScoringBundle],
+      kernel: FlatKernel, init: Array[Double], epochs: Int, lr: Double,
+      optimizer: String, clipNorm: Double): GruTrainResult = {
+    val b = bundleBc.value
     val retain = (1f - b.weights.dropout).toDouble
     val noRel = b.rel("no_relation")
     val tc = b.typechecker
@@ -274,13 +325,13 @@ object Trainer {
     val nTrain = train.count().toDouble
     require(nTrain > 0, "empty training split")
 
-    var flat = BackpropGru.init(layout, seed)
+    var flat = init
 
     def devMetrics(fw: Array[Double]): (Double, Double, Double, Double) = {
       val bc = spark.sparkContext.broadcast(fw)
       val (tp, predPos, targPos, correct, total) = dev.rdd.treeAggregate((0L, 0L, 0L, 0L, 0L))(
         seqOp = { case ((tp0, pp0, gp0, c0, n0), row) =>
-          val logits = BackpropGru.logits(bc.value, layout, retain, row.sequence)
+          val logits = kernel.logits(bc.value, retain, row.sequence)
           val mask = tc.maskRow(row.subjectNer, row.objectNer)
           var best = 0
           var mx = logits(0) * mask(0)
@@ -305,22 +356,21 @@ object Trainer {
     var best: Option[(Int, Double, Array[Double])] = None
     val rho = 0.9
     val eps = 1e-6
-    val cache = new Array[Double](layout.total)
+    val cache = new Array[Double](kernel.total)
 
     for (epoch <- 1 to epochs) {
       val bc = spark.sparkContext.broadcast(flat)
       val parts = train.rdd.mapPartitionsWithIndex { (pid, rows) =>
-        val g = new Array[Double](layout.total)
+        val g = new Array[Double](kernel.total)
         var l = 0.0
         rows.foreach { row =>
           val mask = tc.maskRow(row.subjectNer, row.objectNer)
-          l += BackpropGru.accumulate(bc.value, layout, retain,
-            row.sequence, row.label, mask, g)
+          l += kernel.accumulate(bc.value, retain, row.sequence, row.label, mask, g)
         }
         Iterator((pid, (g, l)))
       }.collect().sortBy(_._1)
       bc.destroy()
-      val grad = new Array[Double](layout.total)
+      val grad = new Array[Double](kernel.total)
       var loss = 0.0
       parts.foreach { case (_, (g, l)) =>
         var j = 0
@@ -332,7 +382,7 @@ object Trainer {
       while (i < grad.length) { grad(i) /= nTrain; norm2 += grad(i) * grad(i); i += 1 }
       val norm = math.sqrt(norm2)
       val scale = if (clipNorm > 0 && norm > clipNorm) clipNorm / norm else 1.0
-      val next = new Array[Double](layout.total)
+      val next = new Array[Double](kernel.total)
       i = 0
       if (optimizer == "rmsprop") {
         while (i < next.length) {

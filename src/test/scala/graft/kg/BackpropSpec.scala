@@ -116,6 +116,63 @@ class BackpropSpec extends AnyFunSuite {
     assert(worst < 1e-4)
   }
 
+  test("MUT1/2/3 BPTT gradients match central finite differences everywhere") {
+    (1 to 3).foreach { variant =>
+      val layout = BackpropMut.Layout(vocab = 12, embDim = 4, hidden = 5, relSize = 4)
+      val flat = BackpropMut.init(layout, variant, seed = 3L)
+      val retain = 0.5
+      def total(f: Array[Double]): Double = {
+        val scratch = new Array[Double](layout.total)
+        seqs.map { case (s, y) =>
+          BackpropMut.accumulate(variant, f, layout, retain, s, y, mask, scratch)
+        }.sum
+      }
+      val analytic = new Array[Double](layout.total)
+      seqs.foreach { case (s, y) =>
+        BackpropMut.accumulate(variant, flat, layout, retain, s, y, mask, analytic)
+      }
+      val eps = 1e-6
+      var checked = 0
+      var i = 0
+      while (i < layout.total) {
+        val orig = flat(i)
+        flat(i) = orig + eps
+        val lp = total(flat)
+        flat(i) = orig - eps
+        val lm = total(flat)
+        flat(i) = orig
+        val numeric = (lp - lm) / (2 * eps)
+        val denom = math.max(1e-5, math.abs(numeric) + math.abs(analytic(i)))
+        val rel = math.abs(numeric - analytic(i)) / denom
+        assert(rel < 1e-4,
+          s"MUT$variant grad mismatch at flat[$i]: analytic=${analytic(i)} numeric=$numeric rel=$rel")
+        checked += 1
+        i += 3
+      }
+      assert(checked > 60)
+    }
+  }
+
+  test("MUT1 forward matches the zoo MutCell recurrence on hand-checked algebra") {
+    // one step from h=0 (rh=0): h1 = z ⊙ tanh(bH + tanh(x̃)),
+    // z = hsig(bZ + Wz x) — the MIRRORED gate rôle vs the GRU
+    val l = BackpropMut.Layout(vocab = 3, embDim = 2, hidden = 2, relSize = 2)
+    val f = BackpropMut.init(l, variant = 1, seed = 9L)
+    val logits = BackpropMut.logits(1, f, l, 1.0, Array(1))
+    def hsig(x: Double) = math.max(0.0, math.min(1.0, 0.2 * x + 0.5))
+    val x = Array(f(l.emb + 1 * 2 + 0), f(l.emb + 1 * 2 + 1))
+    // embDim == hidden here → x̃ = x (identity, no projection)
+    val h = Array.tabulate(2) { j =>
+      val gz = f(l.bZ + j) + x(0) * f(l.wZ + 0 * 2 + j) + x(1) * f(l.wZ + 1 * 2 + j)
+      val gc = f(l.bH + j) + math.tanh(x(j))
+      hsig(gz) * math.tanh(gc)
+    }
+    val expect = Array.tabulate(2) { r =>
+      f(l.denseB + r) + h(0) * f(l.dense + 0 * 2 + r) + h(1) * f(l.dense + 1 * 2 + r)
+    }
+    logits.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("GRU forward matches the zoo GruCell recurrence on hand-checked algebra") {
     // pin the recurrence itself: one step from h=0 must equal
     // (1 - hsig(bz + Wz x)) * tanh(bh + Wh x)  (r is irrelevant at h=0)

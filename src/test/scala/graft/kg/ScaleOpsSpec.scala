@@ -146,6 +146,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(auto === fixed)
   }
 
+  test("streaming bucket expansion ≡ capped sorted all-pairs model on random inputs") {
+    // the kernel's contract, checked against a plain-Scala reference: per
+    // bucket, keep the first maxBucket ids in sorted order (duplicates
+    // consume capacity like the collect_list form did), emit every strict
+    // a<b pair among them — across random keys, caps, and collision rates
+    val rng = new Gen.Rng(123L)
+    (1 to 5).foreach { trial =>
+      val maxBucket = 1 + rng.nextInt(6)
+      val rows = (0 until 300).map { _ =>
+        (s"k${rng.nextInt(5)}", s"k${rng.nextInt(3)}", rng.nextInt(40).toLong)
+      }
+      val sig = rows.toDF("h1", "h2", "doc_id")
+      val got = graft.ops.Dedup.lshCandidatePairsFromSigs(sig, maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // NOTE .values.toSeq first: flatMap on a Map with tuple results
+      // would rebuild a Map and collapse pairs sharing a first element
+      val expected = rows.groupBy(r => (r._1, r._2)).values.toSeq.flatMap { rs =>
+        val kept = rs.map(_._3).sorted.take(maxBucket)
+        for {
+          i <- kept.indices
+          j <- (i + 1) until kept.length
+          if kept(i) < kept(j)
+        } yield (kept(i), kept(j))
+      }.toSet
+      assert(got === expected, s"trial $trial maxBucket=$maxBucket")
+    }
+  }
+
   test("lshCandidatePairsFromSigs: mega-bucket bounded, overflow counted") {
     val text = (0 until 20).map(i => s"w$i").mkString(" ")
     val d = (0L until 40L).map(i => (i, text, "en")).toDF("doc_id", "text", "lang")

@@ -114,6 +114,21 @@ class TrainerSpec extends AnyFunSuite {
     r1.log.zip(r2.log).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("FULL-model MUT1-3 training learns and stays bit-deterministic") {
+    val trainEx = spark.range(400).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(400, 520).map(i => Gen.labeledExample(42L, i))
+    val tf = Trainer.extractSequences(spark, trainEx, bundleBc)
+    val df = Trainer.extractSequences(spark, devEx, bundleBc)
+    (1 to 3).foreach { variant =>
+      val r1 = Trainer.trainFullMut(spark, variant, tf, df, bundleBc, epochs = 4)
+      info(s"mut$variant: " + r1.log.map(m => f"loss ${m.trainLoss}%.4f").mkString(" -> "))
+      assert(r1.log.last.trainLoss < r1.log.head.trainLoss,
+        s"mut$variant loss must drop: ${r1.log.head.trainLoss} -> ${r1.log.last.trainLoss}")
+      val r2 = Trainer.trainFullMut(spark, variant, tf, df, bundleBc, epochs = 4)
+      assert(r1.flat.toSeq === r2.flat.toSeq, s"mut$variant must be bit-deterministic")
+    }
+  }
+
   test("training is deterministic (same data, same epochs → same weights)") {
     val trainEx = spark.range(200).map(i => Gen.labeledExample(42L, i))
     val devEx = spark.range(200, 260).map(i => Gen.labeledExample(42L, i))

@@ -391,10 +391,12 @@ object Dedup {
    * benchmarks before training.
    *
    * Scale shape: the benchmark is tiny next to the corpus, so its distinct
-   * shingle-hash set BROADCASTS; the corpus side is one narrow shingle
-   * explode + a broadcast left-semi probe + a broadcast left-anti on the
-   * flagged ids — the 100 TB corpus is never shuffled at all. Exact DuckDB
-   * oracle (same md5 shingle construction both engines).
+   * shingle-hash set BROADCASTS and the corpus-side probe (one narrow
+   * shingle explode + broadcast left-semi) never shuffles the corpus. The
+   * final anti-join is keyed by doc_id against the FLAGGED ids only — NOT
+   * broadcast-hinted, because on a heavily contaminated corpus that set
+   * scales with the corpus (AQE broadcasts it when it is actually small).
+   * Exact DuckDB oracle (same md5 shingle construction both engines).
    */
   def decontaminate(documents: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
     val benchShingles = benchmark
@@ -406,7 +408,7 @@ object Dedup {
     val contaminated = docShingles
       .join(broadcast(benchShingles), Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
-    documents.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    documents.join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
   }
 

@@ -137,6 +137,20 @@ object SparkEntry {
         .log.toDF()
     }),
 
+    // 2-layer stacked-LSTM full-model training (the reference's `single`
+    // config topology): BPTT through both layers with inter-layer dropout,
+    // layer 1 receiving per-timestep gradients (BackpropStack, FD-checked)
+    "kg_train_stack" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val trainSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val devSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      graft.kg.Trainer.trainFullStacked(s, trainSeq, devSeq, bundleBc, epochs = 4)
+        .log.toDF()
+    }),
+
     // MUT1-3 (JZS) full-model training — with lstm+gru above, every
     // recurrent cell of the zoo now TRAINS (BackpropMut, FD-checked per
     // variant); one epoch-log row per (variant, epoch)

@@ -299,6 +299,30 @@ object Trainer {
       BackpropMut.init(layout, variant, seed), epochs, lr, optimizer, clipNorm)
   }
 
+  /** 2-layer LSTM (`single` config) full-model training — BPTT through
+    * BOTH stacked layers with inter-layer dropout scaling
+    * ([[BackpropStack]], FD-checked): layer 2 consumes every layer-1
+    * state, so layer 1 receives a gradient at every timestep. Same
+    * lifecycle and fixed-order gradient sums as the other kernels. */
+  def trainFullStacked(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
+      bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
+      optimizer: String = "rmsprop", clipNorm: Double = 25.0,
+      seed: Long = 42L): GruTrainResult = {
+    val b = bundleBc.value
+    val layout = BackpropStack.Layout(b.word.size, b.weights.embDim,
+      b.weights.hidden, b.weights.hidden, b.rel.size)
+    trainFlat(spark, trainSeq, devSeq, bundleBc,
+      new FlatKernel {
+        val total: Int = layout.total
+        def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
+          BackpropStack.logits(f, layout, retain, seq)
+        def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
+            mask: Array[Float], grad: Array[Double]): Double =
+          BackpropStack.accumulate(f, layout, retain, seq, label, mask, grad)
+      },
+      BackpropStack.init(layout, seed), epochs, lr, optimizer, clipNorm)
+  }
+
   /** A flat-parameter sequence model the generic trainer can drive. */
   private trait FlatKernel extends Serializable {
     def total: Int

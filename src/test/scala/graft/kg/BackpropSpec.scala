@@ -153,6 +153,41 @@ class BackpropSpec extends AnyFunSuite {
     }
   }
 
+  test("2-layer stacked-LSTM BPTT gradient matches central finite differences everywhere") {
+    val layout = BackpropStack.Layout(vocab = 12, embDim = 4, h1 = 5, h2 = 3, relSize = 4)
+    val flat = BackpropStack.init(layout, seed = 3L)
+    val retain = 0.5
+    def total(f: Array[Double]): Double = {
+      val scratch = new Array[Double](layout.total)
+      seqs.map { case (s, y) =>
+        BackpropStack.accumulate(f, layout, retain, s, y, mask, scratch)
+      }.sum
+    }
+    val analytic = new Array[Double](layout.total)
+    seqs.foreach { case (s, y) =>
+      BackpropStack.accumulate(flat, layout, retain, s, y, mask, analytic)
+    }
+    val eps = 1e-6
+    var checked = 0
+    var i = 0
+    while (i < layout.total) {
+      val orig = flat(i)
+      flat(i) = orig + eps
+      val lp = total(flat)
+      flat(i) = orig - eps
+      val lm = total(flat)
+      flat(i) = orig
+      val numeric = (lp - lm) / (2 * eps)
+      val denom = math.max(1e-5, math.abs(numeric) + math.abs(analytic(i)))
+      val rel = math.abs(numeric - analytic(i)) / denom
+      assert(rel < 1e-4,
+        s"stack grad mismatch at flat[$i]: analytic=${analytic(i)} numeric=$numeric rel=$rel")
+      checked += 1
+      i += 3
+    }
+    assert(checked > 100)
+  }
+
   test("MUT1 forward matches the zoo MutCell recurrence on hand-checked algebra") {
     // one step from h=0 (rh=0): h1 = z ⊙ tanh(bH + tanh(x̃)),
     // z = hsig(bZ + Wz x) — the MIRRORED gate rôle vs the GRU

@@ -151,6 +151,20 @@ object SparkEntry {
         .log.toDF()
     }),
 
+    // single_conv full-model training: Convolution1D + tanh + MaxPool(2) +
+    // LSTM + dense, BPTT through the whole stack (BackpropConv, FD-checked
+    // including the degenerate short-sequence rules)
+    "kg_train_conv" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val trainSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val devSeq = graft.kg.Trainer.extractSequences(s,
+        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      graft.kg.Trainer.trainFullConv(s, trainSeq, devSeq, bundleBc, epochs = 4)
+        .log.toDF()
+    }),
+
     // MUT1-3 (JZS) full-model training — with lstm+gru above, every
     // recurrent cell of the zoo now TRAINS (BackpropMut, FD-checked per
     // variant); one epoch-log row per (variant, epoch)

@@ -74,7 +74,7 @@ object BackpropStack {
   /** One LSTM layer forward over `xs`; returns every state h_t (T × h).
     * Caches (when non-null, length T) are filled with gate
     * pre-activations, cell states, and the shifted previous-state table. */
-  private def forwardLayer(f: Array[Double], c: Cell, xs: Array[Array[Double]],
+  private[kg] def forwardLayer(f: Array[Double], c: Cell, xs: Array[Array[Double]],
       preI: Array[Array[Double]], preF: Array[Array[Double]],
       preC: Array[Array[Double]], preO: Array[Array[Double]],
       cs: Array[Array[Double]]): Array[Array[Double]] = {
@@ -138,7 +138,7 @@ object BackpropStack {
     * gradient wrt the layer's inputs at every t (what the layer below
     * receives). `states` holds this layer's outputs; the caches come from
     * [[forwardLayer]]. */
-  private def backwardLayer(f: Array[Double], c: Cell, xs: Array[Array[Double]],
+  private[kg] def backwardLayer(f: Array[Double], c: Cell, xs: Array[Array[Double]],
       states: Array[Array[Double]], preI: Array[Array[Double]],
       preF: Array[Array[Double]], preC: Array[Array[Double]],
       preO: Array[Array[Double]], cs: Array[Array[Double]],

@@ -323,6 +323,29 @@ object Trainer {
       BackpropStack.init(layout, seed), epochs, lr, optimizer, clipNorm)
   }
 
+  /** `single_conv` full-model training — Convolution1D + tanh +
+    * MaxPooling1D(2) + LSTM + dense ([[BackpropConv]], FD-checked incl.
+    * the degenerate short-sequence rules). With this every TOPOLOGY of the
+    * zoo except the 4-channel concat input trains end to end. */
+  def trainFullConv(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
+      bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
+      optimizer: String = "rmsprop", clipNorm: Double = 25.0,
+      seed: Long = 42L): GruTrainResult = {
+    val b = bundleBc.value
+    val layout = BackpropConv.Layout(b.word.size, b.weights.embDim,
+      b.weights.hidden, b.weights.hidden, b.rel.size)
+    trainFlat(spark, trainSeq, devSeq, bundleBc,
+      new FlatKernel {
+        val total: Int = layout.total
+        def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
+          BackpropConv.logits(f, layout, retain, seq)
+        def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
+            mask: Array[Float], grad: Array[Double]): Double =
+          BackpropConv.accumulate(f, layout, retain, seq, label, mask, grad)
+      },
+      BackpropConv.init(layout, seed), epochs, lr, optimizer, clipNorm)
+  }
+
   /** A flat-parameter sequence model the generic trainer can drive. */
   private trait FlatKernel extends Serializable {
     def total: Int

@@ -188,6 +188,50 @@ class BackpropSpec extends AnyFunSuite {
     assert(checked > 100)
   }
 
+  test("conv BPTT gradient matches central finite differences (incl. degenerate lengths)") {
+    val layout = BackpropConv.Layout(vocab = 12, embDim = 4, convOut = 5, h2 = 3, relSize = 4)
+    val flat = BackpropConv.init(layout, seed = 3L)
+    val retain = 0.5
+    // lengths exercise: pooled>1 (7,5), odd conv frame dropped (6), exactly
+    // one pool (4), pooled-empty fallback (3), zero-frame fallback (2)
+    val convSeqs = Seq(
+      (Array(1, 5, 9, 3, 2, 7, 4), 1),
+      (Array(7, 0, 11, 4, 6), 3),
+      (Array(2, 2, 6, 9, 1, 8), 0),
+      (Array(3, 1, 4, 1), 2),
+      (Array(5, 9, 2), 1),
+      (Array(10, 4), 0))
+    def total(f: Array[Double]): Double = {
+      val scratch = new Array[Double](layout.total)
+      convSeqs.map { case (s, y) =>
+        BackpropConv.accumulate(f, layout, retain, s, y, mask, scratch)
+      }.sum
+    }
+    val analytic = new Array[Double](layout.total)
+    convSeqs.foreach { case (s, y) =>
+      BackpropConv.accumulate(flat, layout, retain, s, y, mask, analytic)
+    }
+    val eps = 1e-6
+    var checked = 0
+    var i = 0
+    while (i < layout.total) {
+      val orig = flat(i)
+      flat(i) = orig + eps
+      val lp = total(flat)
+      flat(i) = orig - eps
+      val lm = total(flat)
+      flat(i) = orig
+      val numeric = (lp - lm) / (2 * eps)
+      val denom = math.max(1e-5, math.abs(numeric) + math.abs(analytic(i)))
+      val rel = math.abs(numeric - analytic(i)) / denom
+      assert(rel < 1e-4,
+        s"conv grad mismatch at flat[$i]: analytic=${analytic(i)} numeric=$numeric rel=$rel")
+      checked += 1
+      i += 3
+    }
+    assert(checked > 70)
+  }
+
   test("MUT1 forward matches the zoo MutCell recurrence on hand-checked algebra") {
     // one step from h=0 (rh=0): h1 = z ⊙ tanh(bH + tanh(x̃)),
     // z = hsig(bZ + Wz x) — the MIRRORED gate rôle vs the GRU

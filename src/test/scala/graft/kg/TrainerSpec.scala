@@ -142,6 +142,19 @@ class TrainerSpec extends AnyFunSuite {
     assert(r1.flat.toSeq === r2.flat.toSeq, "stacked training must be bit-deterministic")
   }
 
+  test("FULL-model conv training learns and is bit-deterministic") {
+    val trainEx = spark.range(300).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(300, 380).map(i => Gen.labeledExample(42L, i))
+    val tf = Trainer.extractSequences(spark, trainEx, bundleBc)
+    val df = Trainer.extractSequences(spark, devEx, bundleBc)
+    val r1 = Trainer.trainFullConv(spark, tf, df, bundleBc, epochs = 4)
+    info("conv: " + r1.log.map(m => f"loss ${m.trainLoss}%.4f").mkString(" -> "))
+    assert(r1.log.last.trainLoss < r1.log.head.trainLoss,
+      s"conv loss must drop: ${r1.log.head.trainLoss} -> ${r1.log.last.trainLoss}")
+    val r2 = Trainer.trainFullConv(spark, tf, df, bundleBc, epochs = 4)
+    assert(r1.flat.toSeq === r2.flat.toSeq, "conv training must be bit-deterministic")
+  }
+
   test("training is deterministic (same data, same epochs → same weights)") {
     val trainEx = spark.range(200).map(i => Gen.labeledExample(42L, i))
     val devEx = spark.range(200, 260).map(i => Gen.labeledExample(42L, i))

@@ -165,6 +165,20 @@ object SparkEntry {
         .log.toDF()
     }),
 
+    // concat 4-channel full-model training — the LAST zoo config: word/
+    // ner/pos/arc channel embeddings over the dependency path, 2 stacked
+    // LSTM layers, trained end to end (BackpropConcat, FD-checked)
+    "kg_train_concat" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val trainCh = graft.kg.Trainer.extractChannels(s,
+        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val devCh = graft.kg.Trainer.extractChannels(s,
+        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      graft.kg.Trainer.trainFullConcat(s, trainCh, devCh, bundleBc, epochs = 4)
+        .log.toDF()
+    }),
+
     // MUT1-3 (JZS) full-model training — with lstm+gru above, every
     // recurrent cell of the zoo now TRAINS (BackpropMut, FD-checked per
     // variant); one epoch-log row per (variant, epoch)

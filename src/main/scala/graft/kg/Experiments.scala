@@ -107,6 +107,8 @@ object Experiments {
     writeLines(s"$d/vocab_word.txt", bundle.word.index2word.toSeq)
     writeLines(s"$d/vocab_ner.txt", bundle.ner.index2word.toSeq)
     writeLines(s"$d/vocab_rel.txt", bundle.rel.index2word.toSeq)
+    writeLines(s"$d/vocab_pos.txt", bundle.pos.index2word.toSeq)
+    writeLines(s"$d/vocab_dep.txt", bundle.dep.index2word.toSeq)
     writeLines(s"$d/gazetteer.tsv",
       bundle.gazetteer.toSeq.sorted.map { case (s, n) => s"$s\t$n" })
     val tc = new DataOutputStream(new BufferedOutputStream(
@@ -126,6 +128,8 @@ object Experiments {
     val word = viewOf(readLines(s"$d/vocab_word.txt"), Some("UNKNOWN"))
     val ner = viewOf(readLines(s"$d/vocab_ner.txt"), Some("O"))
     val rel = viewOf(readLines(s"$d/vocab_rel.txt"), None)
+    val pos = viewOf(readLines(s"$d/vocab_pos.txt"), Some("."))
+    val dep = viewOf(readLines(s"$d/vocab_dep.txt"), None)
     val gaz = readLines(s"$d/gazetteer.tsv").filter(_.nonEmpty).map { l =>
       val Array(s, n) = l.split("\t", 2); s -> n
     }.toMap
@@ -139,7 +143,7 @@ object Experiments {
     val config = new String(Files.readAllBytes(Paths.get(d, "config.json")), UTF_8)
     val scope = """"scope": "(-?\d+)"""".r.findFirstMatchIn(config)
       .map(_.group(1).toInt).getOrElse(-1)
-    Pipeline.ScoringBundle(word, ner, rel, gaz, weights, typechecker, scope)
+    Pipeline.ScoringBundle(word, ner, rel, gaz, weights, typechecker, scope, pos, dep)
   }
 
   def exists(rootDir: String, name: String): Boolean =

@@ -71,7 +71,7 @@ object FeaturizeStage {
     * for the NER pair (reference: train.py:162-165 + dataset.py:132-135 —
     * see TypeChecker.pairValid doc for the truthiness subtlety; the
     * effective training-time filter is "any positive relation possible"). */
-  private def pairAdmitsPositive(b: Pipeline.ScoringBundle, feat: Featurized): Boolean = {
+  private[kg] def pairAdmitsPositive(b: Pipeline.ScoringBundle, feat: Featurized): Boolean = {
     val tc = b.typechecker
     val base = (feat.subjectNer * tc.nerSize + feat.objectNer) * tc.relSize
     var r = 0

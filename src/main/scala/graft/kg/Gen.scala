@@ -163,6 +163,11 @@ object Gen {
     Seq("0000", "00").foreach(v.word.add(_))
     // arc tokens for the single-path featurizer's interleaved sequences
     chainArcs.foreach { a => v.word.add(a + "_from"); v.word.add(a + "_to") }
+    // suffixed arcs + the concat featurizer's dep_from/dep_to fallbacks in
+    // the DEP vocab (the concat arc channel resolves against v.dep; without
+    // these every concat featurization missed and was silently skipped)
+    chainArcs.foreach { a => v.dep.add(a + "_from"); v.dep.add(a + "_to") }
+    Seq("root", "dep_from", "dep_to").foreach(v.dep.add(_))
     v
   }
 

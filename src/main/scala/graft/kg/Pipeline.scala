@@ -27,14 +27,20 @@ object Pipeline {
   final case class ScoringBundle(
       word: VocabView, ner: VocabView, rel: VocabView,
       gazetteer: Map[String, String],
-      weights: ScorerWeights, typechecker: TypeChecker, scope: Int) extends Serializable {
+      weights: ScorerWeights, typechecker: TypeChecker, scope: Int,
+      pos: VocabView, dep: VocabView) extends Serializable {
     /** Frozen lookup vocabs rebuilt from the broadcast views (for code
-      * paths that need the reference's Vocab API, e.g. featurizers). */
+      * paths that need the reference's Vocab API, e.g. featurizers —
+      * including the pos/arc channels of the concat featurizer, which a
+      * bundle without pos/dep views silently starved: every concat
+      * featurization missed the empty dep vocab and was skipped). */
     def toVocabSet: VocabSet = {
       val v = new VocabSet
       rel.index2word.foreach(v.rel.add(_))
       ner.index2word.foreach(v.ner.add(_))
       word.index2word.foreach(v.word.add(_))
+      pos.index2word.foreach(v.pos.add(_)) // "." already present as unk
+      dep.index2word.foreach(v.dep.add(_))
       v
     }
   }
@@ -48,7 +54,8 @@ object Pipeline {
     val weights = ScorerWeights.fixture(
       vocabSize = word.size, relSize = vocabs.rel.size, seed = seed)
     ScoringBundle(word, vocabs.ner.view, vocabs.rel.view,
-      Gen.gazetteer, weights, typechecker, scope)
+      Gen.gazetteer, weights, typechecker, scope,
+      vocabs.pos.view, vocabs.dep.view)
   }
 
   /** Synthetic pages corpus, generated fully distributed (no driver data).

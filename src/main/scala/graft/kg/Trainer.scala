@@ -73,6 +73,67 @@ object Trainer {
     }
   }
 
+  /** One raw 4-channel training row for concat full training (word/ner/
+    * pos/arc over the dependency path; all channels equal length). */
+  final case class ChanRow(label: Int, subjectNer: Int, objectNer: Int,
+      words: Array[Int], ner: Array[Int], pos: Array[Int], arc: Array[Int])
+
+  /** Channelized extraction for concat training — the same Split-build
+    * policies as [[extractSequences]] (P11 ignore filter, P14 error
+    * channel incl. NoPath on the dependency walk, P12 type-validity),
+    * through [[ConcatenatedDependencyFeaturizer.featurizeChannels]]. */
+  def extractChannels(spark: SparkSession, examples: Dataset[SentenceExample],
+      bundleBc: Broadcast[Pipeline.ScoringBundle]): Dataset[ChanRow] = {
+    import spark.implicits._
+    examples
+      .filter((ex: SentenceExample) => !ex.relation.exists(Adaptors.ignoreRelations)) // P11
+      .mapPartitions { it =>
+        val b = bundleBc.value
+        val f = new ConcatenatedDependencyFeaturizer(b.toVocabSet)
+        it.flatMap { ex =>
+          try {
+            val (feat, ch) = f.featurizeChannels(ex, add = false)
+            feat.relation.flatMap { rel =>
+              if (!FeaturizeStage.pairAdmitsPositive(b, feat) || ch.words.isEmpty) None // P12
+              else Some(ChanRow(rel, feat.subjectNer, feat.objectNer,
+                ch.words.toArray, ch.ner.toArray, ch.pos.toArray, ch.arc.toArray))
+            }
+          } catch {
+            case _: NoPathException | _: NoSuchElementException => None // P14
+          }
+        }
+      }
+  }
+
+  /** Concat (4-channel) full-model training — the LAST zoo config: the
+    * same lifecycle over [[BackpropConcat]] (FD-checked) driven by
+    * [[ChanRow]] through the row-generic epoch loop. Channel vocab sizes
+    * follow `Models.get`'s concat dispatch. */
+  def trainFullConcat(spark: SparkSession, trainCh: Dataset[ChanRow], devCh: Dataset[ChanRow],
+      bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
+      optimizer: String = "rmsprop", clipNorm: Double = 25.0,
+      seed: Long = 42L): GruTrainResult = {
+    val b = bundleBc.value
+    val layout = BackpropConcat.Layout(
+      Array(b.word.size, b.ner.size, b.word.size, b.word.size),
+      b.weights.embDim, b.weights.hidden, b.weights.hidden, b.rel.size)
+    trainFlat(spark, trainCh, devCh, bundleBc,
+      new FlatKernelOf[ChanRow] {
+        val total: Int = layout.total
+        def label(row: ChanRow): Int = row.label
+        def subjectNer(row: ChanRow): Int = row.subjectNer
+        def objectNer(row: ChanRow): Int = row.objectNer
+        private def chans(row: ChanRow): Array[Array[Int]] =
+          Array(row.words, row.ner, row.pos, row.arc)
+        def logitsRow(f: Array[Double], retain: Double, row: ChanRow): Array[Double] =
+          BackpropConcat.logits(f, layout, retain, chans(row))
+        def accumulateRow(f: Array[Double], retain: Double, row: ChanRow,
+            mask: Array[Float], grad: Array[Double]): Double =
+          BackpropConcat.accumulate(f, layout, retain, chans(row), row.label, mask, grad)
+      },
+      BackpropConcat.init(layout, seed), epochs, lr, optimizer, clipNorm)
+  }
+
   final case class FullTrainResult(weights: ScorerWeights, log: Seq[EpochMetrics], bestEpoch: Int)
 
   /**
@@ -347,19 +408,39 @@ object Trainer {
   }
 
   /** A flat-parameter sequence model the generic trainer can drive. */
-  private trait FlatKernel extends Serializable {
-    def total: Int
+  private trait FlatKernel extends FlatKernelOf[SeqRow] {
     def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double]
     def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
+        mask: Array[Float], grad: Array[Double]): Double
+    final def label(row: SeqRow): Int = row.label
+    final def subjectNer(row: SeqRow): Int = row.subjectNer
+    final def objectNer(row: SeqRow): Int = row.objectNer
+    final def logitsRow(f: Array[Double], retain: Double, row: SeqRow): Array[Double] =
+      logits(f, retain, row.sequence)
+    final def accumulateRow(f: Array[Double], retain: Double, row: SeqRow,
+        mask: Array[Float], grad: Array[Double]): Double =
+      accumulate(f, retain, row.sequence, row.label, mask, grad)
+  }
+
+  /** Row-type-generic form of [[FlatKernel]] — lets the same epoch loop
+    * drive single-channel ([[SeqRow]]) and multi-channel ([[ChanRow]])
+    * models. */
+  private trait FlatKernelOf[R] extends Serializable {
+    def total: Int
+    def label(row: R): Int
+    def subjectNer(row: R): Int
+    def objectNer(row: R): Int
+    def logitsRow(f: Array[Double], retain: Double, row: R): Array[Double]
+    def accumulateRow(f: Array[Double], retain: Double, row: R,
         mask: Array[Float], grad: Array[Double]): Double
   }
 
   /** The shared full-model epoch loop (rmsprop/clipnorm, fixed-partition-
     * order gradient sums, reference model selection) over any
     * [[FlatKernel]] — numerically identical to the original inlined loop. */
-  private def trainFlat(spark: SparkSession, trainSeq: Dataset[SeqRow],
-      devSeq: Dataset[SeqRow], bundleBc: Broadcast[Pipeline.ScoringBundle],
-      kernel: FlatKernel, init: Array[Double], epochs: Int, lr: Double,
+  private def trainFlat[R](spark: SparkSession, trainSeq: Dataset[R],
+      devSeq: Dataset[R], bundleBc: Broadcast[Pipeline.ScoringBundle],
+      kernel: FlatKernelOf[R], init: Array[Double], epochs: Int, lr: Double,
       optimizer: String, clipNorm: Double): GruTrainResult = {
     val b = bundleBc.value
     val retain = (1f - b.weights.dropout).toDouble
@@ -378,16 +459,17 @@ object Trainer {
       val bc = spark.sparkContext.broadcast(fw)
       val (tp, predPos, targPos, correct, total) = dev.rdd.treeAggregate((0L, 0L, 0L, 0L, 0L))(
         seqOp = { case ((tp0, pp0, gp0, c0, n0), row) =>
-          val logits = kernel.logits(bc.value, retain, row.sequence)
-          val mask = tc.maskRow(row.subjectNer, row.objectNer)
+          val logits = kernel.logitsRow(bc.value, retain, row)
+          val mask = tc.maskRow(kernel.subjectNer(row), kernel.objectNer(row))
           var best = 0
           var mx = logits(0) * mask(0)
           var r = 1
           while (r < rDim) { val v = logits(r) * mask(r); if (v > mx) { mx = v; best = r }; r += 1 }
-          (tp0 + (if (best == row.label && row.label != noRel) 1L else 0L),
+          val lbl = kernel.label(row)
+          (tp0 + (if (best == lbl && lbl != noRel) 1L else 0L),
            pp0 + (if (best != noRel) 1L else 0L),
-           gp0 + (if (row.label != noRel) 1L else 0L),
-           c0 + (if (best == row.label) 1L else 0L),
+           gp0 + (if (lbl != noRel) 1L else 0L),
+           c0 + (if (best == lbl) 1L else 0L),
            n0 + 1L)
         },
         combOp = { case ((a1, a2, a3, a4, a5), (b1, b2, b3, b4, b5)) =>
@@ -411,8 +493,8 @@ object Trainer {
         val g = new Array[Double](kernel.total)
         var l = 0.0
         rows.foreach { row =>
-          val mask = tc.maskRow(row.subjectNer, row.objectNer)
-          l += kernel.accumulate(bc.value, retain, row.sequence, row.label, mask, g)
+          val mask = tc.maskRow(kernel.subjectNer(row), kernel.objectNer(row))
+          l += kernel.accumulateRow(bc.value, retain, row, mask, g)
         }
         Iterator((pid, (g, l)))
       }.collect().sortBy(_._1)

@@ -232,6 +232,46 @@ class BackpropSpec extends AnyFunSuite {
     assert(checked > 70)
   }
 
+  test("concat 4-channel BPTT gradient matches central finite differences everywhere") {
+    val layout = BackpropConcat.Layout(Array(12, 6, 12, 12),
+      embDim = 3, h1 = 4, h2 = 3, relSize = 4)
+    val flat = BackpropConcat.init(layout, seed = 3L)
+    val retain = 0.5
+    val chanSeqs = Seq(
+      (Array(Array(1, 5, 9), Array(2, 0, 4), Array(7, 3, 1), Array(0, 11, 6)), 1),
+      (Array(Array(7, 0), Array(1, 5), Array(2, 2), Array(9, 4)), 3),
+      (Array(Array(2), Array(3), Array(8), Array(5)), 0))
+    def total(f: Array[Double]): Double = {
+      val scratch = new Array[Double](layout.total)
+      chanSeqs.map { case (ch, y) =>
+        BackpropConcat.accumulate(f, layout, retain, ch, y, mask, scratch)
+      }.sum
+    }
+    val analytic = new Array[Double](layout.total)
+    chanSeqs.foreach { case (ch, y) =>
+      BackpropConcat.accumulate(flat, layout, retain, ch, y, mask, analytic)
+    }
+    val eps = 1e-6
+    var checked = 0
+    var i = 0
+    while (i < layout.total) {
+      val orig = flat(i)
+      flat(i) = orig + eps
+      val lp = total(flat)
+      flat(i) = orig - eps
+      val lm = total(flat)
+      flat(i) = orig
+      val numeric = (lp - lm) / (2 * eps)
+      val denom = math.max(1e-5, math.abs(numeric) + math.abs(analytic(i)))
+      val rel = math.abs(numeric - analytic(i)) / denom
+      assert(rel < 1e-4,
+        s"concat grad mismatch at flat[$i]: analytic=${analytic(i)} numeric=$numeric rel=$rel")
+      checked += 1
+      i += 3
+    }
+    assert(checked > 80)
+  }
+
   test("MUT1 forward matches the zoo MutCell recurrence on hand-checked algebra") {
     // one step from h=0 (rh=0): h1 = z ⊙ tanh(bH + tanh(x̃)),
     // z = hsig(bZ + Wz x) — the MIRRORED gate rôle vs the GRU

@@ -28,6 +28,22 @@ class ModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("concat featurization resolves every channel against the bundle vocabs") {
+    // regression: a bundle without pos/dep views starved the concat arc
+    // channel (every featurization threw vocab-miss and was silently
+    // skipped — the zoo's concat row scored ZERO examples)
+    val f = new ConcatenatedDependencyFeaturizer(bundle.toVocabSet)
+    var ok = 0
+    (0L until 50L).foreach { i =>
+      try {
+        val (_, ch) = f.featurizeChannels(Gen.labeledExample(42L, i), add = false)
+        assert(ch.words.length === ch.arc.length && ch.words.length === ch.pos.length)
+        if (ch.words.nonEmpty) ok += 1
+      } catch { case _: NoPathException => () }
+    }
+    assert(ok > 25, s"most examples must channelize, got $ok/50")
+  }
+
   test("mut1-3 are real JZS cells: pairwise distinct, distinct from gru, deterministic") {
     val outs = Seq("gru", "mut1", "mut2", "mut3").map(r =>
       r -> Models.get(cfg("single_small", r), bundle).logits(Array(seq1)).toSeq)

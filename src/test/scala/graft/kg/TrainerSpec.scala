@@ -155,6 +155,20 @@ class TrainerSpec extends AnyFunSuite {
     assert(r1.flat.toSeq === r2.flat.toSeq, "conv training must be bit-deterministic")
   }
 
+  test("FULL-model concat (4-channel) training learns and is bit-deterministic") {
+    val trainEx = spark.range(300).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(300, 380).map(i => Gen.labeledExample(42L, i))
+    val tf = Trainer.extractChannels(spark, trainEx, bundleBc)
+    val df = Trainer.extractChannels(spark, devEx, bundleBc)
+    assert(tf.count() > 50, "channel extraction must yield a real split")
+    val r1 = Trainer.trainFullConcat(spark, tf, df, bundleBc, epochs = 4)
+    info("concat: " + r1.log.map(m => f"loss ${m.trainLoss}%.4f").mkString(" -> "))
+    assert(r1.log.last.trainLoss < r1.log.head.trainLoss,
+      s"concat loss must drop: ${r1.log.head.trainLoss} -> ${r1.log.last.trainLoss}")
+    val r2 = Trainer.trainFullConcat(spark, tf, df, bundleBc, epochs = 4)
+    assert(r1.flat.toSeq === r2.flat.toSeq, "concat training must be bit-deterministic")
+  }
+
   test("training is deterministic (same data, same epochs → same weights)") {
     val trainEx = spark.range(200).map(i => Gen.labeledExample(42L, i))
     val devEx = spark.range(200, 260).map(i => Gen.labeledExample(42L, i))

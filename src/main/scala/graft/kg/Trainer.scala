@@ -112,7 +112,7 @@ object Trainer {
   def trainFullConcat(spark: SparkSession, trainCh: Dataset[ChanRow], devCh: Dataset[ChanRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L): GruTrainResult = {
+      seed: Long = 42L): FlatTrainResult = {
     val b = bundleBc.value
     val layout = BackpropConcat.Layout(
       Array(b.word.size, b.ner.size, b.word.size, b.word.size),
@@ -305,7 +305,7 @@ object Trainer {
     FullTrainResult(weights, log.toSeq, bestEpoch)
   }
 
-  final case class GruTrainResult(flat: Array[Double], log: Seq[EpochMetrics], bestEpoch: Int)
+  final case class FlatTrainResult(flat: Array[Double], log: Seq[EpochMetrics], bestEpoch: Int)
 
   /**
    * FULL-model training for the GRU config — the zoo's second trainable
@@ -322,7 +322,7 @@ object Trainer {
   def trainFullGru(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L): GruTrainResult = {
+      seed: Long = 42L): FlatTrainResult = {
     val b = bundleBc.value
     val layout = BackpropGru.Layout(b.word.size, b.weights.embDim, b.weights.hidden, b.rel.size)
     trainFlat(spark, trainSeq, devSeq, bundleBc,
@@ -344,7 +344,7 @@ object Trainer {
       trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L): GruTrainResult = {
+      seed: Long = 42L): FlatTrainResult = {
     require(variant >= 1 && variant <= 3, s"mut variant $variant")
     val b = bundleBc.value
     val layout = BackpropMut.Layout(b.word.size, b.weights.embDim, b.weights.hidden, b.rel.size)
@@ -368,7 +368,7 @@ object Trainer {
   def trainFullStacked(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L): GruTrainResult = {
+      seed: Long = 42L): FlatTrainResult = {
     val b = bundleBc.value
     val layout = BackpropStack.Layout(b.word.size, b.weights.embDim,
       b.weights.hidden, b.weights.hidden, b.rel.size)
@@ -391,7 +391,7 @@ object Trainer {
   def trainFullConv(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L): GruTrainResult = {
+      seed: Long = 42L): FlatTrainResult = {
     val b = bundleBc.value
     val layout = BackpropConv.Layout(b.word.size, b.weights.embDim,
       b.weights.hidden, b.weights.hidden, b.rel.size)
@@ -441,7 +441,7 @@ object Trainer {
   private def trainFlat[R](spark: SparkSession, trainSeq: Dataset[R],
       devSeq: Dataset[R], bundleBc: Broadcast[Pipeline.ScoringBundle],
       kernel: FlatKernelOf[R], init: Array[Double], epochs: Int, lr: Double,
-      optimizer: String, clipNorm: Double): GruTrainResult = {
+      optimizer: String, clipNorm: Double): FlatTrainResult = {
     val b = bundleBc.value
     val retain = (1f - b.weights.dropout).toDouble
     val noRel = b.rel("no_relation")
@@ -536,7 +536,7 @@ object Trainer {
       case Some((e, _, w)) => (e, w)
       case None => (epochs, flat)
     }
-    GruTrainResult(bestFlat, log.toSeq, bestEpoch)
+    FlatTrainResult(bestFlat, log.toSeq, bestEpoch)
   }
 
   /** Masked, clipped, renormalized softmax (typecheck.py:28-39). */

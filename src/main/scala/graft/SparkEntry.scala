@@ -27,11 +27,28 @@ object SparkEntry {
     * signatures are a written table, and shingle hashing happens exactly
     * once per corpus, not once per downstream query. */
   private object SigCache {
-    private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-    def sigs(s: SparkSession, dir: String): DataFrame =
-      cache.getOrElseUpdate(System.identityHashCode(s) + "|" + dir,
+    // weakly keyed by the SESSION: entries (and their checkpointed blocks'
+    // references) die with the session instead of pinning a stopped
+    // session for the JVM lifetime. Assumes $dir contents are immutable
+    // for the session's life — true of the driver's testdata; a corpus
+    // rewritten in place mid-session would be served stale here.
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+    def sigs(s: SparkSession, dir: String): DataFrame = {
+      val perSession = {
+        val existing = cache.get(s)
+        if (existing != null) existing
+        else {
+          val fresh = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+          val raced = cache.putIfAbsent(s, fresh)
+          if (raced != null) raced else fresh
+        }
+      }
+      perSession.getOrElseUpdate(dir,
         Dedup.minhashSignatures(
           s.read.parquet(s"$dir/documents.parquet"), 4).localCheckpoint())
+    }
   }
 
   /** Flagship: the full KG-construction pipeline (pages → extract → segment

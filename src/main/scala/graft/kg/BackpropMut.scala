@@ -28,8 +28,9 @@ package graft.kg
  * check in BackpropSpec for all three variants.
  *
  * The layout carries the union of all variants' tensors; a tensor a
- * variant does not touch simply keeps a zero gradient (wH+proj in MUT1's
- * unused slots, wR in MUT2's, proj in MUT3's, uZ in MUT1's).
+ * variant does not touch simply keeps a zero gradient (wH and uZ unused
+ * by MUT1 — its x̃ goes through proj when dims mismatch; wR unused by
+ * MUT2; proj and x̃ entirely unused by MUT3).
  */
 object BackpropMut {
 
@@ -116,10 +117,12 @@ object BackpropMut {
       var k = 0
       while (k < d) { x(k) = f(l.emb + w * d + k) * retain; k += 1 }
       if (xs != null) System.arraycopy(x, 0, xs(t), 0, d)
-      // x̃
-      if (identityXt) System.arraycopy(x, 0, xt, 0, h)
-      else { java.util.Arrays.fill(xt, 0.0); addMV(f, l.proj, x, d, xt, h) }
-      if (xts != null) xts(t) = xt.clone()
+      // x̃ (variants 1-2 only; MUT3 never reads it)
+      if (variant != 3) {
+        if (identityXt) System.arraycopy(x, 0, xt, 0, h)
+        else { java.util.Arrays.fill(xt, 0.0); addMV(f, l.proj, x, d, xt, h) }
+        if (xts != null) xts(t) = xt.clone()
+      }
       val gz = new Array[Double](h); val gr = new Array[Double](h)
       var j = 0
       while (j < h) { gz(j) = f(l.bZ + j); gr(j) = f(l.bR + j); j += 1 }
@@ -383,21 +386,25 @@ object BackpropMut {
             k += 1
           }
       }
-      // x̃ = P·x (or identity): route accumulated dxt into dx (+ P grads)
-      if (identityXt) {
-        i = 0
-        while (i < h) { dx(i) += dxt(i); i += 1 }
-      } else {
-        i = 0
-        while (i < d) {
-          val xi = xs(t)(i)
-          var kk = 0
-          while (kk < h) {
-            grad(l.proj + i * h + kk) += xi * dxt(kk)
-            dx(i) += f(l.proj + i * h + kk) * dxt(kk)
-            kk += 1
+      // x̃ = P·x (or identity): route accumulated dxt into dx (+ P grads).
+      // MUT3 never uses x̃ (dxt stays identically zero) — skip the O(d·h)
+      // loop instead of burning it per timestep in the hot training kernel
+      if (variant != 3) {
+        if (identityXt) {
+          i = 0
+          while (i < h) { dx(i) += dxt(i); i += 1 }
+        } else {
+          i = 0
+          while (i < d) {
+            val xi = xs(t)(i)
+            var kk = 0
+            while (kk < h) {
+              grad(l.proj + i * h + kk) += xi * dxt(kk)
+              dx(i) += f(l.proj + i * h + kk) * dxt(kk)
+              kk += 1
+            }
+            i += 1
           }
-          i += 1
         }
       }
       // embedding gradient: x = emb[w] * retain

@@ -128,8 +128,12 @@ object Experiments {
     val word = viewOf(readLines(s"$d/vocab_word.txt"), Some("UNKNOWN"))
     val ner = viewOf(readLines(s"$d/vocab_ner.txt"), Some("O"))
     val rel = viewOf(readLines(s"$d/vocab_rel.txt"), None)
-    val pos = viewOf(readLines(s"$d/vocab_pos.txt"), Some("."))
-    val dep = viewOf(readLines(s"$d/vocab_dep.txt"), None)
+    // pos/dep arrived after the first artifact format: dirs saved without
+    // them still load (with the unk-only / empty vocab those dirs implied)
+    def optLines(path: String): Seq[String] =
+      if (Files.exists(Paths.get(path))) readLines(path) else Seq.empty
+    val pos = viewOf(optLines(s"$d/vocab_pos.txt"), Some("."))
+    val dep = viewOf(optLines(s"$d/vocab_dep.txt"), None)
     val gaz = readLines(s"$d/gazetteer.tsv").filter(_.nonEmpty).map { l =>
       val Array(s, n) = l.split("\t", 2); s -> n
     }.toMap

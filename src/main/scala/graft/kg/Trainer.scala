@@ -158,104 +158,25 @@ object Trainer {
     val b = bundleBc.value
     val layout = Backprop.layoutOf(b.weights)
     val retain = (1f - b.weights.dropout).toDouble
-    val noRel = b.rel("no_relation")
     val tc = b.typechecker
     val rDim = b.rel.size
-
-    val train = trainSeq.cache()
-    val dev = devSeq.cache()
-    val nTrain = train.count().toDouble
-    require(nTrain > 0, "empty training split")
-
-    var flat = Backprop.flatten(b.weights)
-
-    def devMetrics(fw: Array[Double]): (Double, Double, Double, Double) = {
-      val bc = spark.sparkContext.broadcast(fw)
-      val (tp, predPos, targPos, correct, total) = dev.rdd.treeAggregate((0L, 0L, 0L, 0L, 0L))(
-        seqOp = { case ((tp0, pp0, gp0, c0, n0), row) =>
-          val logits = Backprop.logits(bc.value, layout, retain, row.sequence)
-          val mask = tc.maskRow(row.subjectNer, row.objectNer)
-          var best = 0
-          var mx = logits(0) * mask(0)
-          var r = 1
-          while (r < rDim) { val v = logits(r) * mask(r); if (v > mx) { mx = v; best = r }; r += 1 }
-          (tp0 + (if (best == row.label && row.label != noRel) 1L else 0L),
-           pp0 + (if (best != noRel) 1L else 0L),
-           gp0 + (if (row.label != noRel) 1L else 0L),
-           c0 + (if (best == row.label) 1L else 0L),
-           n0 + 1L)
-        },
-        combOp = { case ((a1, a2, a3, a4, a5), (b1, b2, b3, b4, b5)) =>
-          (a1 + b1, a2 + b2, a3 + b3, a4 + b4, a5 + b5) })
-      bc.destroy()
-      val p = if (predPos == 0) 0.0 else tp.toDouble / predPos
-      val rc = if (targPos == 0) 0.0 else tp.toDouble / targPos
-      val f1 = if (p + rc == 0) 0.0 else 2 * p * rc / (p + rc)
-      (p, rc, f1, if (total == 0) 0.0 else correct.toDouble / total)
-    }
-
-    val log = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
-    var best: Option[(Int, Double, Array[Double])] = None
-    // rmsprop cache (E[g^2]), driver-resident — the reference compiles the
-    // whole graph with rmsprop(lr, clipnorm=25.) (models.py:27); Keras-0.x
-    // defaults rho=0.9, epsilon=1e-6
-    val rho = 0.9
-    val eps = 1e-6
-    val cache = new Array[Double](layout.total)
-
-    for (epoch <- 1 to epochs) {
-      val bc = spark.sparkContext.broadcast(flat)
-      // per-partition gradients, summed on the DRIVER in fixed partition
-      // order: a treeAggregate merges partials in task-COMPLETION order,
-      // which is not deterministic under parallel execution and can flip
-      // ulp-level double reassociation that rmsprop then compounds across
-      // epochs. Collecting P × ~80 KB flat gradients is metadata-sized at
-      // any corpus scale (P = partitions, not rows), and the fixed-order
-      // sum makes every epoch bit-reproducible.
-      val parts = train.rdd.mapPartitionsWithIndex { (pid, rows) =>
-        val g = new Array[Double](layout.total)
-        var l = 0.0
-        rows.foreach { row =>
-          val mask = tc.maskRow(row.subjectNer, row.objectNer)
-          l += Backprop.accumulate(bc.value, layout, retain,
-            row.sequence, row.label, mask, g)
-        }
-        Iterator((pid, (g, l)))
-      }.collect().sortBy(_._1)
-      bc.destroy()
-      val grad = new Array[Double](layout.total)
-      var loss = 0.0
-      parts.foreach { case (_, (g, l)) =>
-        var j = 0
-        while (j < g.length) { grad(j) += g(j); j += 1 }
-        loss += l
-      }
-      // mean gradient, then clipnorm (global L2, Keras semantics): if
-      // ||g|| > c, g *= c/||g||
-      var norm2 = 0.0
-      var i = 0
-      while (i < grad.length) { grad(i) /= nTrain; norm2 += grad(i) * grad(i); i += 1 }
-      val norm = math.sqrt(norm2)
-      val scale = if (clipNorm > 0 && norm > clipNorm) clipNorm / norm else 1.0
-      val next = new Array[Double](layout.total)
-      i = 0
-      if (optimizer == "rmsprop") {
-        while (i < next.length) {
-          val g = grad(i) * scale
-          cache(i) = rho * cache(i) + (1 - rho) * g * g
-          next(i) = flat(i) - lr * g / (math.sqrt(cache(i)) + eps)
-          i += 1
-        }
-      } else { // plain full-batch gradient descent
-        while (i < next.length) { next(i) = flat(i) - lr * grad(i) * scale; i += 1 }
-      }
-      flat = next
-      val (p, rc, f1, acc) = devMetrics(flat)
-      val m = EpochMetrics(epoch, loss / nTrain, p, rc, f1, acc)
-      log += m
-      if (m.devF1 > 0.3 && best.forall(_._2 < m.devPrecision))
-        best = Some((epoch, m.devPrecision, flat.clone()))
-    }
+    // the epoch loop is the shared kernel-generic one (trainFlat): the
+    // LSTM starts from the bundle's frozen fixture weights rather than a
+    // seeded init, and this wrapper adds the JSONL log + experiment-dir
+    // artifact persistence the reference's train.py writes
+    val result = trainFlat(spark, trainSeq, devSeq, bundleBc,
+      new FlatKernel {
+        val total: Int = layout.total
+        def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
+          Backprop.logits(f, layout, retain, seq)
+        def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
+            mask: Array[Float], grad: Array[Double]): Double =
+          Backprop.accumulate(f, layout, retain, seq, label, mask, grad)
+      },
+      Backprop.flatten(b.weights), epochs, lr, optimizer, clipNorm)
+    val log = result.log
+    val bestFlat = result.flat
+    val bestEpoch = result.bestEpoch
 
     logPath.foreach { path =>
       val lines = log.map(m =>
@@ -265,11 +186,6 @@ object Trainer {
       java.nio.file.Files.write(pp, lines.mkString("\n").getBytes("UTF-8"))
     }
 
-    train.unpersist(); dev.unpersist()
-    val (bestEpoch, bestFlat) = best match {
-      case Some((e, _, w)) => (e, w)
-      case None => (epochs, flat)
-    }
     val weights = Backprop.unflatten(bestFlat, layout, b.weights.dropout)
     experimentDir.foreach { case (root, name) =>
       val dir = Experiments.save(root, name, b, weights,
@@ -302,7 +218,7 @@ object Trainer {
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "classification_report.txt"),
         Reports.formatSklearnReport(b.rel.index2word.toSeq, conf).getBytes("UTF-8"))
     }
-    FullTrainResult(weights, log.toSeq, bestEpoch)
+    FullTrainResult(weights, log, bestEpoch)
   }
 
   final case class FlatTrainResult(flat: Array[Double], log: Seq[EpochMetrics], bestEpoch: Int)

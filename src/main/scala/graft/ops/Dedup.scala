@@ -80,40 +80,6 @@ object Dedup {
   def lshCandidatePairs(documents: DataFrame, maxBucket: Int = 10000): DataFrame =
     lshCandidatePairsFromSigs(minhashSignatures(documents, 2), maxBucket) // band = (h1, h2)
 
-  /** Streaming in-bucket pair expansion over rows SORTED by (bucket key,
-    * doc_id) within the partition — the same memory-bounded kernel as
-    * [[graft.ops.Similarity]]'s ANN expansion: at most `maxBucket` ids are
-    * ever buffered per bucket (a mega-bucket never materializes in an
-    * aggregation buffer), overflow ids are counted on the accumulator and
-    * logged once per task, and the kept set (the `maxBucket` smallest ids)
-    * is deterministic. */
-  private def streamKeyedPairs(it: Iterator[(String, Long)], maxBucket: Int,
-      dropped: org.apache.spark.util.LongAccumulator,
-      tag: String): Iterator[(Long, Long)] = {
-    var cur: String = null
-    var warned = false
-    val buf = new scala.collection.mutable.ArrayBuffer[Long](16)
-    it.flatMap { case (key, id) =>
-      if (key != cur) { cur = key; buf.clear() }
-      if (buf.size >= maxBucket) {
-        dropped.add(1)
-        if (!warned) {
-          System.err.println(s"[graft.$tag] bucket exceeds maxBucket=$maxBucket — " +
-            "dropping overflow ids (see dropped-ids accumulator)")
-          warned = true
-        }
-        Iterator.empty
-      } else {
-        val n = buf.size
-        buf += id
-        // strict <: duplicate ids never self-pair (parity with the strict
-        // y > x of the expression form this replaced)
-        Iterator.range(0, n).flatMap(i =>
-          if (buf(i) < id) Some((buf(i), id)) else None)
-      }
-    }
-  }
-
   /** Banding over a PRECOMPUTED signature table — at scale the signatures
     * are materialized once and shared by every consumer (candidate pairs,
     * clustering, curation) instead of recomputing the shingle hashes per
@@ -123,7 +89,7 @@ object Dedup {
     * Scale shape: ONE shuffle keyed by the band key carrying
     * (key, doc_id) only; pairs expand via repartition +
     * sortWithinPartitions + the bounded streaming window
-    * ([[streamKeyedPairs]]) — the aggregation-buffer blow-up of a
+    * ([[BucketWindow.pairs]]) — the aggregation-buffer blow-up of a
     * `collect_list` over a boilerplate mega-bucket cannot happen, and
     * overflow is counted ("graft.lsh.dropped_ids") instead of silently
     * shaping the result. */
@@ -140,7 +106,7 @@ object Dedup {
       .as[(String, Long)]
       .repartition(col("bkey"))
       .sortWithinPartitions(col("bkey"), col("doc_id"))
-      .mapPartitions(it => streamKeyedPairs(it, maxBucket, dropped, "lsh"))
+      .mapPartitions(it => BucketWindow.pairs(it, maxBucket, dropped, "lsh"))
       .toDF("doc_a", "doc_b")
   }
 

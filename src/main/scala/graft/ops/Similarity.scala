@@ -120,42 +120,6 @@ object Similarity {
     math.min(30, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }
 
-  /** Streaming in-bucket pair expansion over rows SORTED by
-    * ((band, key), vec_id) within the partition: buffers at most
-    * `maxBucket` ids per bucket (8 bytes each — never an embedding), emits
-    * (a, b) lazily for each arriving id against the buffered smaller ids,
-    * and DROPS ids past the cap — counted on the accumulator and logged
-    * once per task (the no-silent-caps rule), never buffered. Memory per
-    * task is O(maxBucket) longs regardless of bucket or corpus size. */
-  private def streamBucketPairs(it: Iterator[(Int, Int, Long)], maxBucket: Int,
-      dropped: org.apache.spark.util.LongAccumulator): Iterator[(Long, Long)] = {
-    var curBand = Int.MinValue
-    var curKey = Int.MinValue
-    var warned = false
-    val buf = new scala.collection.mutable.ArrayBuffer[Long](64)
-    it.flatMap { case (band, key, id) =>
-      if (band != curBand || key != curKey) { curBand = band; curKey = key; buf.clear() }
-      if (buf.size >= maxBucket) {
-        dropped.add(1)
-        if (!warned) {
-          System.err.println(s"[graft.ann] bucket (band=$band, key=$key) exceeds " +
-            s"maxBucket=$maxBucket — dropping overflow ids (see dropped-ids accumulator)")
-          warned = true
-        }
-        Iterator.empty
-      } else {
-        val n = buf.size
-        buf += id
-        // lazy: flatMap exhausts this before touching the next row, and
-        // appends never move indices 0..n-1 — no per-row array copy.
-        // strict < (duplicate ids never self-pair, matching the strict
-        // y > x of the expression form this replaced)
-        Iterator.range(0, n).flatMap(i =>
-          if (buf(i) < id) Some((buf(i), id)) else None)
-      }
-    }
-  }
-
   /**
    * Banded sign-LSH near-dup pair generation — the 100 TB form that
    * replaces the all-pairs cross joins as the default batch operator.
@@ -174,7 +138,7 @@ object Similarity {
    *     and independent of embedding width;
    *  2. pairs expand in-bucket via repartition(band, key) +
    *     sortWithinPartitions + a streaming mapPartitions window bounded at
-   *     `maxBucket` ids ([[streamBucketPairs]]) — no `collect_list`
+   *     `maxBucket` ids ([[BucketWindow.pairs]]) — no `collect_list`
    *     aggregation buffer anywhere, overflow ids are counted on a named
    *     accumulator ("graft.ann.dropped_ids") and logged, and the kept set
    *     (the `maxBucket` smallest ids per bucket) is deterministic;
@@ -208,7 +172,8 @@ object Similarity {
     val idPairs = banded
       .repartition(col("band"), col("key"))
       .sortWithinPartitions(col("band"), col("key"), col("vec_id"))
-      .mapPartitions(it => streamBucketPairs(it, maxBucket, dropped))
+      .mapPartitions(it => BucketWindow.pairs(
+        it.map { case (band, key, id) => ((band, key), id) }, maxBucket, dropped, "ann"))
       .toDF("id_a", "id_b")
       .distinct()
     idPairs
@@ -217,6 +182,10 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cosine"))
       .filter(col("cosine") >= minCosine)
+      // parity with the expression form this replaced: duplicate vec_id
+      // rows in the input would fan the ids-only pairs back out through
+      // the joins — the final distinct (over SURVIVORS only, tiny) dedups
+      .distinct()
   }
 
   /** [[annCandidatePairs]] with `planesPerBand` sized from the ACTUAL

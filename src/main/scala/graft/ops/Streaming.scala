@@ -61,6 +61,19 @@ object Streaming {
     val reader = spark.readStream.schema(schema)
     val limited = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    // exact data-batch counting via a listener — recentProgress is capped
+    // (default 100 entries) and would undercount long rate-limited runs
+    val counted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == name && e.progress.numInputRows > 0) counted.incrementAndGet()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    if (batchCounter.isDefined) spark.streams.addListener(listener)
     val q = limited.parquet(eventsDir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "24 hours")
@@ -71,8 +84,20 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
-    batchCounter.foreach(_.set(q.recentProgress.count(_.numInputRows > 0)))
     q.stop()
+    if (batchCounter.isDefined) {
+      // listener events are delivered asynchronously — wait (bounded) for
+      // the count to stop moving before reading it
+      var last = -1
+      var waited = 0
+      while (counted.get() != last && waited < 5000) {
+        last = counted.get()
+        Thread.sleep(100)
+        waited += 100
+      }
+      spark.streams.removeListener(listener)
+      batchCounter.foreach(_.set(counted.get()))
+    }
     val out = spark.table(name).persist()
     out.count()
     out

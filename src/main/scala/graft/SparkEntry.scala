@@ -653,6 +653,70 @@ object SparkEntry {
     }),
   )
 
+  /** Testdata invariant: embeddings are 64-dim at every scale factor (the
+    * oracle SQL below bakes the seeded hyperplanes in as literals, so the
+    * dimension must be known without a SparkSession). */
+  private val EmbeddingDim = 64
+
+  /** The banded-ANN hyperplanes as a DuckDB VALUES list `(band, bit, vec)`.
+    * [[graft.ops.Similarity.hyperplanes]] is a pure function of (seed, dim),
+    * so the EXACT planes the Spark plan uses are materialized into the
+    * oracle SQL — shortest-round-trip Double rendering parses back to the
+    * identical IEEE double in DuckDB. `bit` carries 1 << planeIndex so the
+    * bucket key is a plain SUM, no shift operator needed. */
+  private def annPlanesValues(bands: Int, planesPerBand: Int, seed: Long): String =
+    (0 until bands).flatMap { l =>
+      Similarity.hyperplanes(planesPerBand, EmbeddingDim, seed + 31L * l)
+        .zipWithIndex.map { case (p, i) =>
+          s"($l, ${1 << i}, [${p.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+        }
+    }.mkString(",\n           ")
+
+  /** Single-table LSH planes `(bit, vec)` for the top-k probe oracle. */
+  private def lshPlanesValues(nPlanes: Int, seed: Long): String =
+    Similarity.hyperplanes(nPlanes, EmbeddingDim, seed).zipWithIndex.map { case (p, i) =>
+      s"(${1 << i}, [${p.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n           ")
+
+  /** Shared SQL: exact cosine between two DOUBLE[] columns, rounded to 4
+    * places exactly as the Spark `cosine_sim` tail does. */
+  private def cosineSql(a: String, b: String): String =
+    s"""ROUND(list_dot_product($a, $b) /
+        (SQRT(list_dot_product($a, $a)) * SQRT(list_dot_product($b, $b))), 4)"""
+
+  /** `q_ann_lsh` and `q_ann_lsh_index` are defined to return the identical
+    * top-k (the index path only adds partition pruning), so they share one
+    * oracle: bucket = sign pattern over the 4 seeded planes, probe set =
+    * query bucket + its four Hamming-1 neighbors. */
+  private lazy val annLshOracle: String =
+    s"""WITH planes(bit, vec) AS (VALUES
+           ${lshPlanesValues(4, 7L)}),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         qb AS (SELECT CAST(SUM(CASE WHEN list_dot_product(q.qe, p.vec) > 0
+                    THEN p.bit ELSE 0 END) AS INT) AS qbucket
+                FROM q CROSS JOIN planes p),
+         buckets AS (SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.emb, p.vec) > 0
+                  THEN p.bit ELSE 0 END) AS INT) AS bucket
+           FROM e CROSS JOIN planes p WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+         SELECT b.vec_id, ${cosineSql("e.emb", "q.qe")} AS cosine
+         FROM buckets b JOIN e ON b.vec_id = e.vec_id CROSS JOIN q CROSS JOIN qb
+         WHERE b.bucket IN (qb.qbucket, xor(qb.qbucket, 1), xor(qb.qbucket, 2),
+                            xor(qb.qbucket, 4), xor(qb.qbucket, 8))
+         ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"""
+
+  /** Banding keys for the 12-band × 3-plane ANN family — shared CTE prefix
+    * of the `q_ann_pairs` / `q_ann_knn` oracles. */
+  private lazy val annKeysCte: String =
+    s"""WITH planes(band, bit, vec) AS (VALUES
+           ${annPlanesValues(12, 3, 7L)}),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         keys AS (SELECT e.vec_id, p.band,
+             CAST(SUM(CASE WHEN list_dot_product(e.emb, p.vec) > 0
+                  THEN p.bit ELSE 0 END) AS INT) AS key
+           FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band)"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1099,6 +1163,41 @@ object SparkEntry {
            ROUND(1.0 / list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                 x -> exp(x - list_max(CAST(embedding AS DOUBLE[]))))), 6) AS conf
          FROM embeddings""",
+
+    // ---- banded-ANN family: EXACT oracles (the seeded hyperplanes are a
+    // pure function of the seed — materialized above as VALUES literals,
+    // so DuckDB recomputes the same banding keys, candidate set and
+    // verified cosines the Spark kernel produces). maxBucket=10000 never
+    // binds at oracle scale, so the bounded window equals all in-bucket
+    // pairs here.
+    "q_ann_lsh" -> annLshOracle,
+    "q_ann_lsh_index" -> annLshOracle,
+
+    "q_ann_pairs" ->
+      s"""$annKeysCte,
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM keys a JOIN keys b
+             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         pairs AS (SELECT c.id_a, c.id_b,
+             ${cosineSql("ea.emb", "eb.emb")} AS cosine
+           FROM cand c JOIN e ea ON c.id_a = ea.vec_id
+                       JOIN e eb ON c.id_b = eb.vec_id)
+         SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3""",
+
+    "q_ann_knn" ->
+      s"""$annKeysCte,
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM keys a JOIN keys b
+             ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
+         pairs AS (SELECT c.id_a, c.id_b,
+             ${cosineSql("ea.emb", "eb.emb")} AS cosine
+           FROM cand c JOIN e ea ON c.id_a = ea.vec_id
+                       JOIN e eb ON c.id_b = eb.vec_id),
+         surv AS (SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2)
+         SELECT id_a, id_b, cosine,
+           ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rn
+         FROM surv
+         QUALIFY rn <= 1""",
   )
 }
 

@@ -337,7 +337,13 @@ object Dedup {
   /** Near-dup clusters of a documents table: LSH candidate pairs → connected
     * components; singletons keep their own id as cluster. Pass `sigs` (a
     * precomputed [[minhashSignatures]] table with h1/h2) to reuse a shared
-    * signature table instead of recomputing the shingle hashes. */
+    * signature table instead of recomputing the shingle hashes.
+    *
+    * Components run through [[connectedComponentsStar]] (O(log n) rounds)
+    * by DEFAULT: a web-scale boilerplate chain deeper than any fixed
+    * diameter bound must converge, not exit at maxIter with wrong labels.
+    * Labels are identical to min-label propagation at the fixed point
+    * (both emit the component-minimum id — asserted in ScaleOpsSpec). */
   def nearDupClusters(documents: DataFrame, maxBucket: Int = 10000,
       sigs: Option[DataFrame] = None): DataFrame = {
     val pairs = sigs
@@ -346,7 +352,7 @@ object Dedup {
       .getOrElse(lshCandidatePairs(documents, maxBucket))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val nodes = documents.select(col("doc_id").as("node"))
-    connectedComponents(pairs, nodes)
+    connectedComponentsStar(pairs, nodes)
       .select(col("node").as("doc_id"), col("cluster"))
   }
 

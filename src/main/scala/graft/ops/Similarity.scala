@@ -150,7 +150,8 @@ object Similarity {
   def annCandidatePairs(embeddings: DataFrame, minCosine: Double = 0.3,
       bands: Int = 12, planesPerBand: Int = 3, maxBucket: Int = 10000,
       seed: Long = 7L,
-      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      symmetric: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
@@ -173,7 +174,8 @@ object Similarity {
       .repartition(col("band"), col("key"))
       .sortWithinPartitions(col("band"), col("key"), col("vec_id"))
       .mapPartitions(it => BucketWindow.pairs(
-        it.map { case (band, key, id) => ((band, key), id) }, maxBucket, dropped, "ann"))
+        it.map { case (band, key, id) => ((band, key), id) }, maxBucket, dropped, "ann",
+        emitBoth = symmetric))
       .toDF("id_a", "id_b")
       .distinct()
     idPairs
@@ -205,17 +207,22 @@ object Similarity {
     * vector's top-k neighbors among its LSH candidates above `minCosine`.
     * The ranking window is PARTITIONED by vector id — parallel, never a
     * global sort. This is the scale path for "nearest neighbor per row";
-    * [[nearestNeighborJoin]] stays as the exact bounded oracle. */
+    * [[nearestNeighborJoin]] stays as the exact bounded oracle.
+    *
+    * One linear pass: the bucket kernel emits BOTH orientations of each
+    * candidate pair (`symmetric = true`), so the plan is banding →
+    * in-bucket window → distinct → embedding join-back → per-id rank —
+    * no checkpoint, no self-union, no reorientation stage. The id-pair
+    * distinct and join traffic double (ids + survivors only — bytes
+    * independent of embedding width), a constant factor bought back by
+    * dropping two stages and a materialization; cosine(a,b) ≡ cosine(b,a)
+    * bit-exactly (same element order in the dot, commutative norm
+    * product), so results equal the old symmetrize-after form. */
   def annTopKJoin(embeddings: DataFrame, k: Int = 1, minCosine: Double = 0.2,
       bands: Int = 12, planesPerBand: Int = 3, maxBucket: Int = 10000,
       seed: Long = 7L): DataFrame = {
-    // materialize the candidate pairs once: the self-union below would
-    // otherwise recompute the whole banding+expansion subplan on both sides
-    // (the survivors are tiny relative to the scan — safe to pin)
-    val pairs = annCandidatePairs(embeddings, minCosine, bands, planesPerBand, maxBucket, seed)
-      .localCheckpoint()
-    val sym = pairs.unionByName(pairs.select(
-      col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
+    val sym = annCandidatePairs(embeddings, minCosine, bands, planesPerBand,
+      maxBucket, seed, symmetric = true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
     sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

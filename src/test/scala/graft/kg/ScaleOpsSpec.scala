@@ -362,6 +362,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupClusters default path collapses a deep boilerplate chain (star CC)") {
+    // a multi-band signature table (one row per doc per band — the shape a
+    // prior signature job materializes) whose pair graph is a 41-node CHAIN:
+    // band A buckets pair (2k, 2k+1), band B buckets pair (2k+1, 2k+2).
+    // Diameter 40 > min-label propagation's default 20 rounds — only the
+    // star default converges; every label must be the component minimum 0.
+    val n = 41
+    val sigs = (0 until n).flatMap { i =>
+      Seq((i.toLong, "A", (i - i % 2).toString),
+          (i.toLong, "B", (i - (i + 1) % 2).toString))
+    }.toDF("doc_id", "h1", "h2")
+    val docs = (0 until n).map(i => (i.toLong, s"doc $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val labels = graft.ops.Dedup.nearDupClusters(docs, sigs = Some(sigs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n)
+    assert(labels.values.toSet === Set(0L),
+      "the default CC path must fully collapse a 40-deep chain")
+  }
+
   test("simhashPairs bucket cap bounds in-bucket expansion") {
     val rows = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta", "en"))
     val d = rows.toDF("doc_id", "text", "lang")

@@ -583,20 +583,38 @@ object SparkEntry {
         .groupBy(col("n_docs")).agg(count(lit(1)).as("n_fingerprints"))),
 
     // ---- multimodal plumbing -------------------------------------------------------
+    // pure binary metadata over the opaque-payload table (no decode)
     "q_media_meta" -> ((s, dir) =>
-      Multimodal.extractMeta(s, Multimodal.mediaTable(t(s, dir, "documents")))
+      Multimodal.binaryMeta(s, Multimodal.mediaTable(t(s, dir, "documents")))
         .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"), col("content_md5"))),
+    // REAL container decode: synthesize structurally-real PNG/GIF/JPEG
+    // containers, then parse the headers back with the fixed-offset byte
+    // readers — the oracle recomputes format/dims/length from the content
+    // length, so a wrong offset or endianness breaks the hash
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.extractMeta(s, Multimodal.mediaTableSynth(t(s, dir, "documents")))
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("byte_len").cast("long").as("byte_len"))),
     "q_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.extractMeta(s, Multimodal.mediaTable(t(s, dir, "documents"))))),
-    // resize planning (letterbox math) over decoded dims
+        Multimodal.extractMeta(s, Multimodal.mediaTableSynth(t(s, dir, "documents"))))
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"))),
+    // resize planning (letterbox math) over the PARSED dims
     "q_media_resize" -> ((s, dir) =>
       Multimodal.resizePlan(
-        Multimodal.extractMeta(s, Multimodal.mediaTable(t(s, dir, "documents"))))),
+        Multimodal.extractMeta(s, Multimodal.mediaTableSynth(t(s, dir, "documents"))))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("scale"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"))),
     // per-frame fake-embedding extraction: the multimodal → vector bridge
-    // into the ANN operators (real plumbing, stubbed vector math)
+    // into the ANN operators (real container parse, stubbed vector math)
     "q_media_features" -> ((s, dir) => {
-      val meta = Multimodal.extractMeta(s, Multimodal.mediaTable(t(s, dir, "documents")))
+      val meta = Multimodal.extractMeta(s, Multimodal.mediaTableSynth(t(s, dir, "documents")))
       Multimodal.frameFeatures(s, Multimodal.sampleFrames(meta), meta)
         .select(col("doc_id"), col("frame_idx"),
           round(element_at(col("embedding").cast("array<double>"), 1), 6).as("e0"),
@@ -1136,6 +1154,40 @@ object SparkEntry {
     "q_media_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
            md5(text) AS content_md5 FROM documents""",
+
+    // the synth containers derive format/dims purely from the content byte
+    // length (Multimodal.synthDims), so the oracle recomputes what the
+    // Spark side must RECOVER by parsing the container bytes it built
+    "q_media_decode" ->
+      """WITH nb AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents)
+         SELECT doc_id,
+           CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+           CAST(16 + n % 240 AS BIGINT) AS width,
+           CAST(16 + (n * 7) % 180 AS BIGINT) AS height,
+           CAST(CASE WHEN n % 3 = 1 THEN 1 + n % 40 ELSE 1 END AS BIGINT) AS n_frames,
+           CAST(CASE n % 3 WHEN 0 THEN 65
+                           WHEN 1 THEN 14 + 14 * (1 + n % 40)
+                           ELSE 17 END AS BIGINT) AS byte_len
+         FROM nb""",
+
+    "q_media_frames" ->
+      """WITH nb AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         m AS (SELECT doc_id,
+             CASE WHEN n % 3 = 1 THEN 1 + n % 40 ELSE 1 END AS n_frames FROM nb)
+         SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(UNNEST(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
+         FROM m""",
+
+    "q_media_resize" ->
+      """WITH nb AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         m AS (SELECT doc_id, 16 + n % 240 AS w, 16 + (n * 7) % 180 AS h FROM nb),
+         s AS (SELECT doc_id, w, h,
+             LEAST(CAST(224 AS DOUBLE) / w, CAST(224 AS DOUBLE) / h, 1.0) AS sc FROM m)
+         SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           ROUND(sc, 6) AS scale,
+           CAST(FLOOR(w * sc) AS BIGINT) AS out_w,
+           CAST(FLOOR(h * sc) AS BIGINT) AS out_h
+         FROM s""",
 
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,

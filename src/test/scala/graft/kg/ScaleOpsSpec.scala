@@ -330,7 +330,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       (2L, "identical media payload content here", "en"), // same payload as 1
       (3L, "a completely different media payload", "en")
     ).toDF("doc_id", "text", "lang")
-    val meta = graft.ops.Multimodal.extractMeta(spark, graft.ops.Multimodal.mediaTable(docs))
+    val meta = graft.ops.Multimodal.extractMeta(spark, graft.ops.Multimodal.mediaTableSynth(docs))
     // resize planning: aspect preserved, never upscaled beyond 1.0
     val rp = graft.ops.Multimodal.resizePlan(meta, 224, 224).collect()
     rp.foreach { r =>

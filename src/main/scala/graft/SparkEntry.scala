@@ -574,13 +574,17 @@ object SparkEntry {
     "q_cms_estimate" -> ((s, dir) => TextAnalysis.cmsEstimate(t(s, dir, "documents"),
       TextAnalysis.stopwords.toSeq.sortBy(_._1).flatMap(_._2).distinct)),
     "q_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
-    // winnowing (rolling-hash) fingerprint clusters: docs sharing substrings
+    // winnowing (rolling-hash) fingerprint clusters over the FULL corpus:
+    // docs sharing substrings of length >= w+k-1 share a fingerprint
     "q_winnow_clusters" -> ((s, dir) =>
-      TextAnalysis.winnowFingerprints(s, t(s, dir, "documents").filter(col("doc_id") < 200))
+      TextAnalysis.winnowFingerprints(s, t(s, dir, "documents"))
         .groupBy(col("fingerprint"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") > 1)
         .groupBy(col("n_docs")).agg(count(lit(1)).as("n_fingerprints"))),
+    // winnow near-dup candidate pairs, full corpus, bucket-bounded kernel
+    "q_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowCandidatePairs(s, t(s, dir, "documents"))),
 
     // ---- multimodal plumbing -------------------------------------------------------
     // pure binary metadata over the opaque-payload table (no decode)
@@ -723,6 +727,44 @@ object SparkEntry {
          WHERE b.bucket IN (qb.qbucket, xor(qb.qbucket, 1), xor(qb.qbucket, 2),
                             xor(qb.qbucket, 4), xor(qb.qbucket, 8))
          ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"""
+
+  /** The Rabin-Karp k-gram hash of `winnow` as a DuckDB expression over
+    * 1-based position `i`: h = ((c_0·B + c_1)·B + c_2)… with B = 1e9+7,
+    * every step reduced mod 2^64 in HUGEINT (exactly the two's-complement
+    * wrap of the Scala Long arithmetic — the fresh polynomial mod 2^64
+    * equals the Scala rolling recurrence mod 2^64). Testdata text is pure
+    * ASCII, so `unicode(substr(...))` ≡ `charAt`. */
+  private def winnowHashExpr(k: Int): String = {
+    val m = "18446744073709551616::HUGEINT"
+    (1 until k).foldLeft("CAST(unicode(substr(text, i, 1)) AS HUGEINT)") { (acc, j) =>
+      s"(($acc * 1000000007 + unicode(substr(text, i+$j, 1))) % $m)"
+    }
+  }
+
+  /** Shared winnow-fingerprint CTE (k=8, w=6): per-doc k-gram hashes →
+    * signed-64 view → rightmost-min-of-each-6-window (the emitted VALUE is
+    * the window minimum, so the rightmost tie-break affects only which
+    * index is selected, never the value) → distinct (doc_id, fp). Short
+    * hash sequences (m ≤ w) emit the single global min, which the clipped
+    * frame at i=1 produces. */
+  private lazy val winnowFpCte: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         g AS (SELECT doc_id, text,
+             UNNEST(generate_series(1, CAST(n AS INT) - 7)) AS i
+           FROM d WHERE n >= 8),
+         hh AS (SELECT doc_id, i, ${winnowHashExpr(8)} AS hu FROM g),
+         hs AS (SELECT doc_id, i,
+             CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                  THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+           FROM hh),
+         cnt AS (SELECT doc_id, COUNT(*) AS m FROM hs GROUP BY doc_id),
+         wm AS (SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS fp
+           FROM hs),
+         fp AS (SELECT DISTINCT wm.doc_id, wm.fp
+           FROM wm JOIN cnt ON wm.doc_id = cnt.doc_id
+           WHERE wm.i <= GREATEST(cnt.m - 5, 1))"""
 
   /** Banding keys for the 12-band × 3-plane ANN family — shared CTE prefix
     * of the `q_ann_pairs` / `q_ann_knn` oracles. */
@@ -1215,6 +1257,20 @@ object SparkEntry {
            ROUND(1.0 / list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                 x -> exp(x - list_max(CAST(embedding AS DOUBLE[]))))), 6) AS conf
          FROM embeddings""",
+
+    // ---- winnowing: EXACT oracles (Rabin-Karp polynomial recomputed in
+    // HUGEINT mod-2^64 arithmetic — bit-parity with the Scala Long wrap)
+    "q_winnow_clusters" ->
+      s"""$winnowFpCte,
+         cl AS (SELECT fp AS fingerprint, COUNT(DISTINCT doc_id) AS n_docs
+                FROM fp GROUP BY fp)
+         SELECT n_docs, COUNT(*) AS n_fingerprints
+         FROM cl WHERE n_docs > 1 GROUP BY n_docs""",
+
+    "q_winnow_pairs" ->
+      s"""$winnowFpCte
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id""",
 
     // ---- banded-ANN family: EXACT oracles (the seeded hyperplanes are a
     // pure function of the seed — materialized above as VALUES literals,

@@ -121,6 +121,29 @@ object TextAnalysis {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** Winnow near-dup candidate pairs at corpus scale: doc pairs sharing at
+    * least one winnow fingerprint, expanded INSIDE fingerprint buckets via
+    * the bounded streaming window ([[BucketWindow.pairs]]) — the same
+    * shape as the minhash-LSH banding: ONE shuffle keyed by fingerprint
+    * carrying (fingerprint, doc_id) only, O(maxBucket) task memory, and a
+    * boilerplate fingerprint shared by more than `maxBucket` docs drops
+    * overflow ids onto the "graft.winnow.dropped_ids" accumulator instead
+    * of exploding quadratically. */
+  def winnowCandidatePairs(spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, k: Int = 8, w: Int = 6, maxBucket: Int = 10000,
+      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    val dropped = droppedAcc.getOrElse(
+      spark.sparkContext.longAccumulator("graft.winnow.dropped_ids"))
+    winnowFingerprints(spark, documents, k, w)
+      .select(col("fingerprint"), col("doc_id")).as[(Long, Long)]
+      .repartition(col("fingerprint"))
+      .sortWithinPartitions(col("fingerprint"), col("doc_id"))
+      .mapPartitions(it => BucketWindow.pairs(it, maxBucket, dropped, "winnow"))
+      .toDF("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** Deterministic content-hash sampling — the reproducible alternative to
     * rand() for carving held-out / subsample splits from a 100 TB corpus:
     * keep rows whose md5(text) hex prefix sorts below `hexBound`

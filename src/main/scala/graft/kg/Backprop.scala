@@ -193,9 +193,15 @@ object Backprop {
    * standard masked-softmax-CE output gradient.
    */
   def accumulate(f: Array[Double], l: Layout, retain: Double,
-      seq: Array[Int], label: Int, mask: Array[Float], grad: Array[Double]): Double = {
+      seq: Array[Int], label: Int, mask: Array[Float], grad: Array[Double],
+      truncate: Int = 0): Double = {
     val h = l.hidden; val d = l.embDim; val rS = l.relSize
     val T = seq.length
+    // BPTT truncation (reference configs/config.py:32 truncate_gradient=50,
+    // theano scan semantics): the backward walk stops `truncate` steps from
+    // the end; the state entering the window is treated as a constant.
+    // 0 (or >= T) = full BPTT. Bounds per-example backward compute at scale.
+    val tMin = if (truncate > 0) math.max(0, T - truncate) else 0
     val preI = new Array[Array[Double]](T); val preF = new Array[Array[Double]](T)
     val preC = new Array[Array[Double]](T); val preO = new Array[Array[Double]](T)
     val cs = new Array[Array[Double]](T)
@@ -240,7 +246,7 @@ object Backprop {
     val dc = new Array[Double](h)
     val dx = new Array[Double](d)
     var t = T - 1
-    while (t >= 0) {
+    while (t >= tMin) {
       val c = cs(t)
       val cPrev = if (t == 0) null else cs(t - 1)
       val hPrev = hs(t) // hs is shifted: hs(t) == h_{t-1}
@@ -289,5 +295,92 @@ object Backprop {
       t -= 1
     }
     loss
+  }
+
+  /** Plain recurrence from a GIVEN initial state over `seq` — FD support
+    * for the truncation semantics: the truncated gradient is the exact
+    * gradient of [[lossFromState]] with the window-entry state detached
+    * (held constant), which this pair of helpers lets a test evaluate
+    * numerically. Same arithmetic order as [[forward]]. */
+  private[kg] def forwardState(f: Array[Double], l: Layout, retain: Double,
+      seq: Array[Int], h0: Array[Double], c0: Array[Double]): (Array[Double], Array[Double]) = {
+    val h = l.hidden; val d = l.embDim
+    val hPrev = h0.clone()
+    val c = c0.clone()
+    val x = new Array[Double](d)
+    var t = 0
+    while (t < seq.length) {
+      val w = seq(t)
+      var k = 0
+      while (k < d) { x(k) = f(l.emb + w * d + k) * retain; k += 1 }
+      val gi = new Array[Double](h); val gf = new Array[Double](h)
+      val gc = new Array[Double](h); val go = new Array[Double](h)
+      var j = 0
+      while (j < h) {
+        gi(j) = f(l.bI + j); gf(j) = f(l.bF + j); gc(j) = f(l.bC + j); go(j) = f(l.bO + j)
+        j += 1
+      }
+      var i = 0
+      while (i < d) {
+        val xi = x(i)
+        if (xi != 0) {
+          j = 0
+          while (j < h) {
+            gi(j) += xi * f(l.wI + i * h + j); gf(j) += xi * f(l.wF + i * h + j)
+            gc(j) += xi * f(l.wC + i * h + j); go(j) += xi * f(l.wO + i * h + j)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      i = 0
+      while (i < h) {
+        val hi = hPrev(i)
+        if (hi != 0) {
+          j = 0
+          while (j < h) {
+            gi(j) += hi * f(l.uI + i * h + j); gf(j) += hi * f(l.uF + i * h + j)
+            gc(j) += hi * f(l.uC + i * h + j); go(j) += hi * f(l.uO + i * h + j)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      j = 0
+      while (j < h) {
+        c(j) = hsig(gf(j)) * c(j) + hsig(gi(j)) * math.tanh(gc(j))
+        hPrev(j) = hsig(go(j)) * math.tanh(c(j))
+        j += 1
+      }
+      t += 1
+    }
+    (hPrev, c)
+  }
+
+  /** State after the first `tCut` steps from the zero state. */
+  private[kg] def stateAt(f: Array[Double], l: Layout, retain: Double,
+      seq: Array[Int], tCut: Int): (Array[Double], Array[Double]) =
+    forwardState(f, l, retain, seq.take(tCut),
+      new Array[Double](l.hidden), new Array[Double](l.hidden))
+
+  /** Loss of the readout over the suffix run from a FIXED (detached)
+    * initial state — the function whose exact gradient the truncated
+    * [[accumulate]] computes. */
+  private[kg] def lossFromState(f: Array[Double], l: Layout, retain: Double,
+      suffix: Array[Int], label: Int, mask: Array[Float],
+      h0: Array[Double], c0: Array[Double]): Double = {
+    val (hT, _) = forwardState(f, l, retain, suffix, h0, c0)
+    val rS = l.relSize
+    val logit = new Array[Double](rS)
+    var r = 0
+    while (r < rS) { logit(r) = f(l.denseB + r); r += 1 }
+    var j = 0
+    while (j < l.hidden) {
+      val hj = hT(j) * retain
+      r = 0
+      while (r < rS) { logit(r) += hj * f(l.dense + j * rS + r); r += 1 }
+      j += 1
+    }
+    -math.log(filteredSoftmax(logit, mask)(label))
   }
 }

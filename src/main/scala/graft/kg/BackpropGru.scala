@@ -175,9 +175,13 @@ object BackpropGru {
    *   dh_{t-1} = dh ⊙ z_t + d(r⊙h) ⊙ r_t + Uz^T·d pre_z + Ur^T·d pre_r
    */
   def accumulate(f: Array[Double], l: Layout, retain: Double,
-      seq: Array[Int], label: Int, mask: Array[Float], grad: Array[Double]): Double = {
+      seq: Array[Int], label: Int, mask: Array[Float], grad: Array[Double],
+      truncate: Int = 0): Double = {
     val h = l.hidden; val d = l.embDim; val rS = l.relSize
     val T = seq.length
+    // BPTT truncation (config.py:32, theano scan semantics — see the LSTM
+    // kernel): backward stops `truncate` steps from the end; 0 = full
+    val tMin = if (truncate > 0) math.max(0, T - truncate) else 0
     val preZ = new Array[Array[Double]](T); val preR = new Array[Array[Double]](T)
     val preH = new Array[Array[Double]](T); val rhs = new Array[Array[Double]](T)
     val (xs, hs, hT) = forward(f, l, retain, seq, preZ, preR, preH, rhs)
@@ -223,7 +227,7 @@ object BackpropGru {
     val drh = new Array[Double](h)
     val drPre = new Array[Double](h)
     var t = T - 1
-    while (t >= 0) {
+    while (t >= tMin) {
       val hPrev = hs(t) // hs is shifted: hs(t) == h_{t-1}
       val gz = preZ(t); val gr = preR(t); val gh = preH(t); val rh = rhs(t)
       java.util.Arrays.fill(dx, 0.0)

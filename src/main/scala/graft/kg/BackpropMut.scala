@@ -183,10 +183,14 @@ object BackpropMut {
 
   /** One example's loss, accumulating dL/dθ into `grad` (+=). */
   def accumulate(variant: Int, f: Array[Double], l: Layout, retain: Double,
-      seq: Array[Int], label: Int, mask: Array[Float], grad: Array[Double]): Double = {
+      seq: Array[Int], label: Int, mask: Array[Float], grad: Array[Double],
+      truncate: Int = 0): Double = {
     val h = l.hidden; val d = l.embDim; val rS = l.relSize
     val identityXt = d == h
     val T = seq.length
+    // BPTT truncation (config.py:32, theano scan semantics — see the LSTM
+    // kernel): backward stops `truncate` steps from the end; 0 = full
+    val tMin = if (truncate > 0) math.max(0, T - truncate) else 0
     val preZ = new Array[Array[Double]](T); val preR = new Array[Array[Double]](T)
     val preC = new Array[Array[Double]](T); val rhs = new Array[Array[Double]](T)
     val xts = new Array[Array[Double]](T)
@@ -234,7 +238,7 @@ object BackpropMut {
     val drh = new Array[Double](h)
     val drPre = new Array[Double](h)
     var t = T - 1
-    while (t >= 0) {
+    while (t >= tMin) {
       val hPrev = hs(t)
       val gz = preZ(t); val gr = preR(t); val gc = preC(t)
       val rh = rhs(t); val xt = xts(t)

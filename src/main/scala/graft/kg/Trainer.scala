@@ -112,7 +112,7 @@ object Trainer {
   def trainFullConcat(spark: SparkSession, trainCh: Dataset[ChanRow], devCh: Dataset[ChanRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L): FlatTrainResult = {
+      seed: Long = 42L, reg: Double = 1e-4): FlatTrainResult = {
     val b = bundleBc.value
     val layout = BackpropConcat.Layout(
       Array(b.word.size, b.ner.size, b.word.size, b.word.size),
@@ -120,6 +120,7 @@ object Trainer {
     trainFlat(spark, trainCh, devCh, bundleBc,
       new FlatKernelOf[ChanRow] {
         val total: Int = layout.total
+        val denseRange: (Int, Int) = (layout.dense, layout.denseB)
         def label(row: ChanRow): Int = row.label
         def subjectNer(row: ChanRow): Int = row.subjectNer
         def objectNer(row: ChanRow): Int = row.objectNer
@@ -131,7 +132,7 @@ object Trainer {
             mask: Array[Float], grad: Array[Double]): Double =
           BackpropConcat.accumulate(f, layout, retain, chans(row), row.label, mask, grad)
       },
-      BackpropConcat.init(layout, seed), epochs, lr, optimizer, clipNorm)
+      BackpropConcat.init(layout, seed), epochs, lr, optimizer, clipNorm, reg)
   }
 
   final case class FullTrainResult(weights: ScorerWeights, log: Seq[EpochMetrics], bestEpoch: Int)
@@ -154,7 +155,8 @@ object Trainer {
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       logPath: Option[String] = None,
       experimentDir: Option[(String, String)] = None,
-      optimizer: String = "rmsprop", clipNorm: Double = 25.0): FullTrainResult = {
+      optimizer: String = "rmsprop", clipNorm: Double = 25.0,
+      truncate: Int = 50, reg: Double = 0.0): FullTrainResult = {
     val b = bundleBc.value
     val layout = Backprop.layoutOf(b.weights)
     val retain = (1f - b.weights.dropout).toDouble
@@ -167,13 +169,14 @@ object Trainer {
     val result = trainFlat(spark, trainSeq, devSeq, bundleBc,
       new FlatKernel {
         val total: Int = layout.total
+        val denseRange: (Int, Int) = (layout.dense, layout.denseB)
         def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
           Backprop.logits(f, layout, retain, seq)
         def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
             mask: Array[Float], grad: Array[Double]): Double =
-          Backprop.accumulate(f, layout, retain, seq, label, mask, grad)
+          Backprop.accumulate(f, layout, retain, seq, label, mask, grad, truncate)
       },
-      Backprop.flatten(b.weights), epochs, lr, optimizer, clipNorm)
+      Backprop.flatten(b.weights), epochs, lr, optimizer, clipNorm, reg)
     val log = result.log
     val bestFlat = result.flat
     val bestEpoch = result.bestEpoch
@@ -238,19 +241,20 @@ object Trainer {
   def trainFullGru(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L): FlatTrainResult = {
+      seed: Long = 42L, truncate: Int = 50, reg: Double = 0.0): FlatTrainResult = {
     val b = bundleBc.value
     val layout = BackpropGru.Layout(b.word.size, b.weights.embDim, b.weights.hidden, b.rel.size)
     trainFlat(spark, trainSeq, devSeq, bundleBc,
       new FlatKernel {
         val total: Int = layout.total
+        val denseRange: (Int, Int) = (layout.dense, layout.denseB)
         def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
           BackpropGru.logits(f, layout, retain, seq)
         def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
             mask: Array[Float], grad: Array[Double]): Double =
-          BackpropGru.accumulate(f, layout, retain, seq, label, mask, grad)
+          BackpropGru.accumulate(f, layout, retain, seq, label, mask, grad, truncate)
       },
-      BackpropGru.init(layout, seed), epochs, lr, optimizer, clipNorm)
+      BackpropGru.init(layout, seed), epochs, lr, optimizer, clipNorm, reg)
   }
 
   /** MUT1/2/3 (JZS) full-model training — same lifecycle over the
@@ -260,20 +264,21 @@ object Trainer {
       trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L): FlatTrainResult = {
+      seed: Long = 42L, truncate: Int = 50, reg: Double = 0.0): FlatTrainResult = {
     require(variant >= 1 && variant <= 3, s"mut variant $variant")
     val b = bundleBc.value
     val layout = BackpropMut.Layout(b.word.size, b.weights.embDim, b.weights.hidden, b.rel.size)
     trainFlat(spark, trainSeq, devSeq, bundleBc,
       new FlatKernel {
         val total: Int = layout.total
+        val denseRange: (Int, Int) = (layout.dense, layout.denseB)
         def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
           BackpropMut.logits(variant, f, layout, retain, seq)
         def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
             mask: Array[Float], grad: Array[Double]): Double =
-          BackpropMut.accumulate(variant, f, layout, retain, seq, label, mask, grad)
+          BackpropMut.accumulate(variant, f, layout, retain, seq, label, mask, grad, truncate)
       },
-      BackpropMut.init(layout, variant, seed), epochs, lr, optimizer, clipNorm)
+      BackpropMut.init(layout, variant, seed), epochs, lr, optimizer, clipNorm, reg)
   }
 
   /** 2-layer LSTM (`single` config) full-model training — BPTT through
@@ -291,6 +296,7 @@ object Trainer {
     trainFlat(spark, trainSeq, devSeq, bundleBc,
       new FlatKernel {
         val total: Int = layout.total
+        val denseRange: (Int, Int) = (layout.dense, layout.denseB)
         def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
           BackpropStack.logits(f, layout, retain, seq)
         def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
@@ -314,6 +320,7 @@ object Trainer {
     trainFlat(spark, trainSeq, devSeq, bundleBc,
       new FlatKernel {
         val total: Int = layout.total
+        val denseRange: (Int, Int) = (layout.dense, layout.denseB)
         def logits(f: Array[Double], retain: Double, seq: Array[Int]): Array[Double] =
           BackpropConv.logits(f, layout, retain, seq)
         def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
@@ -343,6 +350,10 @@ object Trainer {
     * models. */
   private trait FlatKernelOf[R] extends Serializable {
     def total: Int
+    /** Flat [start, end) slice of the readout weight MATRIX (bias excluded)
+      * — the parameters the reference's `l2(config.reg)` regularizes
+      * (models.py:68: only dense2's W carries a W_regularizer). */
+    def denseRange: (Int, Int)
     def label(row: R): Int
     def subjectNer(row: R): Int
     def objectNer(row: R): Int
@@ -357,7 +368,7 @@ object Trainer {
   private def trainFlat[R](spark: SparkSession, trainSeq: Dataset[R],
       devSeq: Dataset[R], bundleBc: Broadcast[Pipeline.ScoringBundle],
       kernel: FlatKernelOf[R], init: Array[Double], epochs: Int, lr: Double,
-      optimizer: String, clipNorm: Double): FlatTrainResult = {
+      optimizer: String, clipNorm: Double, reg: Double = 0.0): FlatTrainResult = {
     val b = bundleBc.value
     val retain = (1f - b.weights.dropout).toDouble
     val noRel = b.rel("no_relation")
@@ -422,9 +433,25 @@ object Trainer {
         while (j < g.length) { grad(j) += g(j); j += 1 }
         loss += l
       }
-      var norm2 = 0.0
       var i = 0
-      while (i < grad.length) { grad(i) /= nTrain; norm2 += grad(i) * grad(i); i += 1 }
+      while (i < grad.length) { grad(i) /= nTrain; i += 1 }
+      // L2 weight decay on the readout W (Keras-0.x WeightRegularizer:
+      // loss += reg * sum(W^2) added ONCE to the mean loss, grad += 2*reg*W;
+      // applied AFTER the 1/n averaging, BEFORE clipnorm — the optimizer
+      // clips the total gradient, regularizer included)
+      var regLoss = 0.0
+      if (reg != 0.0) {
+        val (dLo, dHi) = kernel.denseRange
+        i = dLo
+        while (i < dHi) {
+          regLoss += reg * flat(i) * flat(i)
+          grad(i) += 2.0 * reg * flat(i)
+          i += 1
+        }
+      }
+      var norm2 = 0.0
+      i = 0
+      while (i < grad.length) { norm2 += grad(i) * grad(i); i += 1 }
       val norm = math.sqrt(norm2)
       val scale = if (clipNorm > 0 && norm > clipNorm) clipNorm / norm else 1.0
       val next = new Array[Double](kernel.total)
@@ -441,7 +468,7 @@ object Trainer {
       }
       flat = next
       val (p, rc, f1, acc) = devMetrics(flat)
-      val m = EpochMetrics(epoch, loss / nTrain, p, rc, f1, acc)
+      val m = EpochMetrics(epoch, loss / nTrain + regLoss, p, rc, f1, acc)
       log += m
       if (m.devF1 > 0.3 && best.forall(_._2 < m.devPrecision))
         best = Some((epoch, m.devPrecision, flat.clone()))

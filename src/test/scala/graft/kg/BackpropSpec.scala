@@ -78,6 +78,88 @@ class BackpropSpec extends AnyFunSuite {
     assert(g(layout.denseB + 2) === 0.0)
   }
 
+  test("BPTT truncation: truncate >= T is bit-identical to full BPTT") {
+    val flat = Backprop.flatten(w)
+    val gFull = new Array[Double](layout.total)
+    val gCap = new Array[Double](layout.total)
+    seqs.foreach { case (s, y) =>
+      Backprop.accumulate(flat, layout, retain, s, y, mask, gFull)
+      Backprop.accumulate(flat, layout, retain, s, y, mask, gCap, truncate = 50)
+    }
+    assert(gFull.toSeq === gCap.toSeq)
+  }
+
+  test("truncated BPTT gradient is the exact gradient of the detached-state suffix loss (FD)") {
+    val flat = Backprop.flatten(w)
+    val seq = Array(1, 5, 9, 3, 2, 7, 0, 11, 4, 2, 6, 8) // T = 12
+    val label = 1
+    val k = 5
+    val tMin = seq.length - k
+    val analytic = new Array[Double](layout.total)
+    val lossT = Backprop.accumulate(flat, layout, retain, seq, label, mask, analytic, truncate = k)
+    // truncation never changes the FORWARD pass / loss
+    val (h0, c0) = Backprop.stateAt(flat, layout, retain, seq, tMin)
+    val suffix = seq.drop(tMin)
+    assert(math.abs(lossT -
+      Backprop.lossFromState(flat, layout, retain, suffix, label, mask, h0, c0)) < 1e-12)
+    // the truncated gradient IS the exact gradient of the suffix loss with
+    // the window-entry state (h0, c0) detached (theano scan semantics) —
+    // FD over that function, with (h0, c0) pinned to the BASE parameters
+    val eps = 1e-6
+    var checked = 0
+    var i = 0
+    while (i < layout.total) {
+      val orig = flat(i)
+      flat(i) = orig + eps
+      val lp = Backprop.lossFromState(flat, layout, retain, suffix, label, mask, h0, c0)
+      flat(i) = orig - eps
+      val lm = Backprop.lossFromState(flat, layout, retain, suffix, label, mask, h0, c0)
+      flat(i) = orig
+      val numeric = (lp - lm) / (2 * eps)
+      val denom = math.max(1e-5, math.abs(numeric) + math.abs(analytic(i)))
+      assert(math.abs(numeric - analytic(i)) / denom < 1e-4,
+        s"truncated grad mismatch at flat[$i]: analytic=${analytic(i)} numeric=$numeric")
+      checked += 1
+      i += 3
+    }
+    assert(checked > 80)
+    // truncation binds on this sequence (recurrent/emb grads differ from
+    // full BPTT) while dense grads — which don't flow through time — match
+    val gFull = new Array[Double](layout.total)
+    Backprop.accumulate(flat, layout, retain, seq, label, mask, gFull)
+    assert((0 until layout.dense).exists(j => gFull(j) != analytic(j)),
+      "k < T must actually truncate")
+    (layout.dense until layout.total).foreach(j => assert(gFull(j) === analytic(j)))
+  }
+
+  test("GRU/MUT truncation: >= T bit-identical to full; k < T alters only time-flowing grads") {
+    val seq = Array(1, 5, 9, 3, 2, 7, 0, 11, 4, 2, 6, 8)
+    val gl = BackpropGru.Layout(vocab = 12, embDim = 4, hidden = 5, relSize = 4)
+    val gf = BackpropGru.init(gl, seed = 3L)
+    val full = new Array[Double](gl.total)
+    val cap = new Array[Double](gl.total)
+    val tr = new Array[Double](gl.total)
+    BackpropGru.accumulate(gf, gl, 0.5, seq, 1, mask, full)
+    BackpropGru.accumulate(gf, gl, 0.5, seq, 1, mask, cap, truncate = 50)
+    BackpropGru.accumulate(gf, gl, 0.5, seq, 1, mask, tr, truncate = 4)
+    assert(full.toSeq === cap.toSeq)
+    assert((0 until gl.dense).exists(j => tr(j) != full(j)))
+    (gl.dense until gl.total).foreach(j => assert(tr(j) === full(j)))
+    (1 to 3).foreach { variant =>
+      val ml = BackpropMut.Layout(vocab = 12, embDim = 4, hidden = 5, relSize = 4)
+      val mf = BackpropMut.init(ml, variant, seed = 3L)
+      val mFull = new Array[Double](ml.total)
+      val mCap = new Array[Double](ml.total)
+      val mTr = new Array[Double](ml.total)
+      BackpropMut.accumulate(variant, mf, ml, 0.5, seq, 1, mask, mFull)
+      BackpropMut.accumulate(variant, mf, ml, 0.5, seq, 1, mask, mCap, truncate = 50)
+      BackpropMut.accumulate(variant, mf, ml, 0.5, seq, 1, mask, mTr, truncate = 4)
+      assert(mFull.toSeq === mCap.toSeq, s"mut$variant")
+      assert((0 until ml.dense).exists(j => mTr(j) != mFull(j)), s"mut$variant must truncate")
+      (ml.dense until ml.total).foreach(j => assert(mTr(j) === mFull(j)))
+    }
+  }
+
   test("GRU BPTT gradient matches central finite differences everywhere") {
     val layout = BackpropGru.Layout(vocab = 12, embDim = 4, hidden = 5, relSize = 4)
     val flat = BackpropGru.init(layout, seed = 3L)

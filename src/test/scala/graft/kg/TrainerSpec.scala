@@ -169,6 +169,54 @@ class TrainerSpec extends AnyFunSuite {
     assert(r1.flat.toSeq === r2.flat.toSeq, "concat training must be bit-deterministic")
   }
 
+  test("L2 weight decay (concat dense2, models.py:68) — closed-form first-step check") {
+    val trainEx = spark.range(80).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(80, 100).map(i => Gen.labeledExample(42L, i))
+    val tf = Trainer.extractChannels(spark, trainEx, bundleBc)
+    val df = Trainer.extractChannels(spark, devEx, bundleBc)
+    val lr = 0.01
+    val reg = 1e-3
+    // sgd + clip disabled → one exact, hand-checkable update step
+    val r0 = Trainer.trainFullConcat(spark, tf, df, bundleBc, epochs = 1, lr = lr,
+      optimizer = "sgd", clipNorm = 0.0, reg = 0.0)
+    val rr = Trainer.trainFullConcat(spark, tf, df, bundleBc, epochs = 1, lr = lr,
+      optimizer = "sgd", clipNorm = 0.0, reg = reg)
+    val b = bundleBc.value
+    val layout = BackpropConcat.Layout(
+      Array(b.word.size, b.ner.size, b.word.size, b.word.size),
+      b.weights.embDim, b.weights.hidden, b.weights.hidden, b.rel.size)
+    val init = BackpropConcat.init(layout, 42L)
+    // off the dense W the step is identical; on it, w' differs by exactly
+    // lr * dL2/dw = lr * 2 * reg * w_init
+    var j = 0
+    while (j < layout.total) {
+      if (j >= layout.dense && j < layout.denseB)
+        assert(math.abs((r0.flat(j) - rr.flat(j)) - lr * 2 * reg * init(j)) < 1e-12,
+          s"dense W step at $j")
+      else assert(r0.flat(j) === rr.flat(j), s"non-regularized param $j moved")
+      j += 1
+    }
+    // the reported loss carries the Keras-style reg term once per epoch
+    val sumSq = (layout.dense until layout.denseB).map(j => init(j) * init(j)).sum
+    assert(math.abs((rr.log.head.trainLoss - r0.log.head.trainLoss) - reg * sumSq) < 1e-10)
+  }
+
+  test("truncate_gradient is config-driven through trainFull (k=1 changes the fit)") {
+    val trainEx = spark.range(120).map(i => Gen.labeledExample(42L, i))
+    val devEx = spark.range(120, 150).map(i => Gen.labeledExample(42L, i))
+    val tf = Trainer.extractSequences(spark, trainEx, bundleBc)
+    val df = Trainer.extractSequences(spark, devEx, bundleBc)
+    val rFull = Trainer.trainFull(spark, tf, df, bundleBc, epochs = 2, truncate = 0)
+    val rDefault = Trainer.trainFull(spark, tf, df, bundleBc, epochs = 2) // k = 50
+    val rTight = Trainer.trainFull(spark, tf, df, bundleBc, epochs = 2, truncate = 1)
+    val maxLen = tf.collect().map(_.sequence.length).max
+    // the fixture sentences are shorter than 50 tokens, so the reference
+    // default must NOT bind; k=1 must
+    assert(maxLen < 50, s"fixture invariant: maxLen $maxLen")
+    assert(Backprop.flatten(rDefault.weights).toSeq === Backprop.flatten(rFull.weights).toSeq)
+    assert(Backprop.flatten(rTight.weights).toSeq !== Backprop.flatten(rFull.weights).toSeq)
+  }
+
   test("training is deterministic (same data, same epochs → same weights)") {
     val trainEx = spark.range(200).map(i => Gen.labeledExample(42L, i))
     val devEx = spark.range(200, 260).map(i => Gen.labeledExample(42L, i))

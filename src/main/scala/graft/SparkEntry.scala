@@ -94,6 +94,20 @@ object SparkEntry {
         graft.kg.Evaluate.scoreExamples(s, examples, bundleBc).toDF())
     }),
 
+    // per-example error-analysis dump (analyze_errors.py print_example):
+    // wrong examples with the reference's debug fields — sentence,
+    // subject/object + NER, gold + pred, path length, per-token rows
+    "kg_error_dump" -> ((s, _) => {
+      import s.implicits._
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
+      graft.kg.Evaluate.errorAnalysisDump(s, examples, bundleBc).toDF()
+        .select(col("id"), col("sentence"), col("subject"), col("subjectNer"),
+          col("obj"), col("objectNer"), col("relation"), col("predicted"),
+          col("pathLen").cast("long").as("pathLen"),
+          col("pathWords"), col("pathArcs"), col("pathNers"))
+    }),
+
     // pred.py-style evaluation: per-relation P/R report over a labeled
     // split, scored from a SAVED+RELOADED experiment directory — the S9
     // deploy contract (kbp.py:38-45); the round trip is bit-exact.

@@ -118,6 +118,77 @@ object Evaluate {
       .select(col("model"), col("rnn"), col("scored"), col("positive"), col("avg_conf"))
   }
 
+  /** One WRONG example in the reference's `.analysis` debug shape
+    * (analyze_errors.py:28-37): original sentence, subject/object + NER,
+    * gold + predicted relation, path length, and the per-path-token
+    * (word, arc, ner) rows. */
+  final case class ErrorExample(
+      id: Long, sentence: String, subject: String, subjectNer: String,
+      obj: String, objectNer: String, relation: String, predicted: String,
+      pathLen: Int, pathWords: Seq[String], pathArcs: Seq[String], pathNers: Seq[String])
+
+  /** The per-example error-analysis dump (analyze_errors.py:28-37
+    * `print_example`): score via the single-path featurizer and keep ONLY
+    * the wrong examples, carrying every field the reference's debug format
+    * prints. One narrow mapPartitions — errors are sparse, so the dump
+    * rows are a small fraction of the scored split at any corpus size. */
+  def errorAnalysisDump(spark: SparkSession, examples: Dataset[SentenceExample],
+      bundleBc: Broadcast[Pipeline.ScoringBundle]): Dataset[ErrorExample] = {
+    import spark.implicits._
+    examples.mapPartitions { it =>
+      val b = bundleBc.value
+      val vocabs = b.toVocabSet
+      val featurizer = new SinglePathDependencyFeaturizer(vocabs)
+      val pathView = new ConcatenatedDependencyFeaturizer(vocabs)
+      val scorer = new Scorer(b.weights, b.typechecker)
+      it.flatMap { ex =>
+        try {
+          val feat = featurizer.featurize(ex, add = false)
+          val (relId, _) = scorer.predict(feat.sequence.toArray, feat.subjectNer, feat.objectNer)
+          val pred = b.rel.index2word(relId)
+          val targ = ex.relation.getOrElse("")
+          if (pred == targ) None
+          else {
+            val rows = pathView.pathRows(ex)
+            Some(ErrorExample(FeaturizeStage.stableId(ex), ex.words.mkString(" "),
+              ex.subject, ex.subjectNer, ex.objectVal, ex.objectNer,
+              targ, pred, rows.length,
+              rows.map(_._1), rows.map(_._4), rows.map(_._2)))
+          }
+        } catch {
+          case _: NoPathException | _: NoSuchElementException |
+               _: IllegalArgumentException => None
+        }
+      }
+    }
+  }
+
+  /** Render wrong examples + the length histogram as the reference's
+    * `.analysis` text file (analyze_errors.py:28-58): per example a block
+    * of sentence / subject+NER / object+NER / gold+pred / `PATH = n` /
+    * one `word arc ner` line per path token, blocks separated by a blank
+    * line; then the `length\tcount\tnum_error\tpercent_error` table in
+    * most-common order (count desc; equal counts by length asc — a
+    * deterministic stand-in for Counter.most_common's insertion order). */
+  def formatAnalysis(wrongs: Seq[ErrorExample], hist: Seq[(Int, Long, Long)]): String = {
+    val blocks = wrongs.map { e =>
+      val head = Seq(
+        e.sentence,
+        s"${e.subject} ${e.subjectNer}",
+        s"${e.obj} ${e.objectNer}",
+        s"${e.relation} ${e.predicted}",
+        s"PATH = ${e.pathLen}")
+      val toks = e.pathWords.lazyZip(e.pathArcs).lazyZip(e.pathNers)
+        .map((w, d, n) => s"$w $d $n")
+      (head ++ toks).mkString("\n") + "\n\n"
+    }
+    val histLines = "length\tcount\tnum_error\tpercent_error" +:
+      hist.sortBy { case (l, c, _) => (-c, l) }.map { case (l, c, ne) =>
+        s"$l\t$c\t$ne\t${ne.toDouble / c}"
+      }
+    blocks.mkString + histLines.mkString("\n") + "\n"
+  }
+
   /** A7 in its native form (reference: analyze_errors.py:44-58): count,
     * error count and error rate per featurized-sequence length. */
   def errorByLength(scored: DataFrame): DataFrame =

@@ -152,4 +152,45 @@ object Experiments {
 
   def exists(rootDir: String, name: String): Boolean =
     Files.exists(Paths.get(rootDir, name, "best_weights.bin"))
+
+  /** Parse an experiment `config.json` (the flat string-valued object
+    * [[save]] writes) back into a key → value map. */
+  def readConfig(dir: String): Map[String, String] =
+    """"([^"]+)": "([^"]*)"""".r
+      .findAllMatchIn(new String(Files.readAllBytes(Paths.get(dir, "config.json")), UTF_8))
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Write a config map as `config.json` in [[save]]'s format. */
+  def writeConfig(dir: String, config: Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val body = config.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": "$v"""" }.mkString("{\n", ",\n", "\n}")
+    Files.write(Paths.get(dir, "config.json"), body.getBytes(UTF_8))
+  }
+
+  /**
+   * docopt-style config overrides (train.py:115-121): a comma-separated
+   * `key:value` spec merged over a base config. Mirrors the reference's
+   * rules exactly — a spec without exactly one `:` is an error, the key
+   * must already exist in the config (`config[k]` raises there), and the
+   * new value is coerced by the EXISTING value's type (int, then float,
+   * else string), so `lr:abc` over a float key fails loudly.
+   */
+  def applyOverrides(base: Map[String, String], spec: String): Map[String, String] =
+    if (spec.isEmpty) base
+    else spec.split(",", -1).foldLeft(base) { (cfg, s) =>
+      val parts = s.split(":", -1)
+      require(parts.length == 2, s"invalid option specified: $s")
+      val Array(k, v) = parts
+      require(cfg.contains(k), s"unknown config key: $k")
+      val coerced =
+        if (cfg(k).toIntOption.isDefined)
+          v.toIntOption.getOrElse(
+            throw new IllegalArgumentException(s"option $k expects an int, got: $v")).toString
+        else if (cfg(k).toDoubleOption.isDefined)
+          v.toDoubleOption.getOrElse(
+            throw new IllegalArgumentException(s"option $k expects a number, got: $v")).toString
+        else v
+      cfg.updated(k, coerced)
+    }
 }

@@ -119,15 +119,20 @@ final class ConcatenatedDependencyFeaturizer(val vocabs: VocabSet) extends Depen
 
   final case class Channels(words: Seq[Int], ner: Seq[Int], pos: Seq[Int], arc: Seq[Int])
 
-  def featurizeChannels(ex: SentenceExample, add: Boolean = false): (Featurized, Channels) = {
-    val path = pathOf(ex)
-    val rows = path.map { case PathEdge(child, parent, arc) =>
+  /** The per-path-edge STRING rows (word, ner, pos, arc) — the fields the
+    * reference's error-analysis dump prints one line per path token
+    * (analyze_errors.py:28-37 zips ex.words/ex.parse/ex.ner). */
+  def pathRows(ex: SentenceExample): Seq[(String, String, String, String)] =
+    pathOf(ex).map { case PathEdge(child, parent, arc) =>
       if (arc.endsWith("_from") || arc == "root")
         (getToken(ex, child), ex.ner(child), ex.pos(child), arc)
       else if (arc.endsWith("_to"))
         (getToken(ex, parent), ex.ner(parent), ex.pos(parent), arc)
       else throw new IllegalArgumentException("Unknown arc type " + arc)
     }
+
+  def featurizeChannels(ex: SentenceExample, add: Boolean = false): (Featurized, Channels) = {
+    val rows = pathRows(ex)
     val words = rows.map { case (w, _, _, _) => vocabs.word.get(w, add) }
     val ners = rows.map { case (_, n, _, _) => vocabs.ner.get(n, add) }
     val poss = rows.map { case (_, _, p, _) => vocabs.pos.get(p, add) }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
  *     --out /data/kg_out [--pages 100000] [--buckets 256] [--salted] \
  *     [--pages-path /data/pages_parquet] \
  *     [--experiment /data/experiments/deploy] \
+ *     [--options scope:3,dropout:0.1] \
  *     [--senna-words words.lst --senna-embeddings embeddings.txt]
  *
  * With --pages-path the corpus is read from an existing pages table
@@ -18,6 +19,13 @@ import org.apache.spark.sql.SparkSession
  * bundle; --senna-* preloads a Senna-format pretrained embedding table
  * into the model (S6, models.py:33-40). On a cluster, every setting here
  * comes from spark-submit; the code makes no local[] assumptions.
+ *
+ * --options is the reference's docopt override surface (train.py:115-121):
+ * comma-separated `key:value` specs merged over the experiment's (or
+ * default) config with the reference's type-coercion rules; the merged
+ * EFFECTIVE config is written to `<out>/config.json`, and the `scope`
+ * override is applied to the live bundle (model tensor dims come from the
+ * loaded weights and are recorded, not rebuilt).
  */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
@@ -27,6 +35,7 @@ object PipelineMain {
     var salted = false
     var pagesPath = ""
     var experiment = ""
+    var options = ""
     var sennaWords = ""
     var sennaEmb = ""
     var i = 0
@@ -38,6 +47,7 @@ object PipelineMain {
         case "--salted" => salted = true; i += 1
         case "--pages-path" => pagesPath = args(i + 1); i += 2
         case "--experiment" => experiment = args(i + 1); i += 2
+        case "--options" => options = args(i + 1); i += 2
         case "--senna-words" => sennaWords = args(i + 1); i += 2
         case "--senna-embeddings" => sennaEmb = args(i + 1); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
@@ -63,15 +73,34 @@ object PipelineMain {
       val p = java.nio.file.Paths.get(experiment)
       Some(Experiments.load(p.getParent.toString, p.getFileName.toString))
     } else None
-    val bundle = (base, sennaWords.nonEmpty && sennaEmb.nonEmpty) match {
+    val bundle0 = (base, sennaWords.nonEmpty && sennaEmb.nonEmpty) match {
       case (b, true) =>
         val b0 = b.getOrElse(Pipeline.buildBundle())
         Some(b0.copy(weights =
           Pretrain.loadAndPreload(b0.weights, b0.word, sennaWords, sennaEmb)))
       case (b, false) => b
     }
+    // --options (train.py:115-121): merge k:v overrides over the loaded
+    // experiment's config (or the fixture-default one), record the merged
+    // config next to the graph tables, and apply the live `scope` override
+    val baseConfig =
+      if (experiment.nonEmpty) Experiments.readConfig(experiment)
+      else {
+        val b0 = bundle0.getOrElse(Pipeline.buildBundle())
+        Map("emb_dim" -> b0.weights.embDim.toString,
+          "hidden" -> b0.weights.hidden.toString,
+          "rel_size" -> b0.weights.relSize.toString,
+          "dropout" -> b0.weights.dropout.toString,
+          "scope" -> b0.scope.toString)
+      }
+    val effective = Experiments.applyOverrides(baseConfig, options)
+    val bundle =
+      if (effective("scope") != baseConfig("scope"))
+        Some(bundle0.getOrElse(Pipeline.buildBundle()).copy(scope = effective("scope").toInt))
+      else bundle0
     val report = Pipeline.runCheckpointed(spark, corpus, out, buckets = buckets,
       salted = salted, bundle = bundle)
+    Experiments.writeConfig(out, effective)
     // K2 sink: best_scores.json-style run summary next to the graph tables
     Metrics.writeScoresJson(s"$out/run_scores.json", Map(
       "triples" -> report.triples.toDouble,

@@ -102,6 +102,37 @@ class ExperimentsSpec extends AnyFunSuite {
 
   // ---- S6: Senna-format pretrained embeddings --------------------------------
 
+  test("--options overrides (train.py:115-121): coercion, merge, config round trip") {
+    val base = Map("scope" -> "-1", "dropout" -> "0.5", "lr" -> "0.01",
+      "epochs" -> "30", "featurizer" -> "single")
+    // int key coerced to int, float key to float, string passthrough
+    val merged = Experiments.applyOverrides(base, "scope:3,lr:1e-4,featurizer:sent")
+    assert(merged("scope") === "3")
+    assert(merged("lr").toDouble === 1e-4)
+    assert(merged("featurizer") === "sent")
+    assert(merged("dropout") === "0.5") // untouched keys survive
+    // reference failure modes reproduced: malformed spec, unknown key,
+    // type mismatch against the existing value
+    intercept[IllegalArgumentException](Experiments.applyOverrides(base, "scope=3"))
+    intercept[IllegalArgumentException](Experiments.applyOverrides(base, "nope:1"))
+    intercept[IllegalArgumentException](Experiments.applyOverrides(base, "epochs:abc"))
+    intercept[IllegalArgumentException](Experiments.applyOverrides(base, "dropout:x"))
+    // round trip through the config.json format save/load use
+    val dir = Files.createTempDirectory("graft-opts").toString
+    Experiments.writeConfig(dir, merged)
+    assert(Experiments.readConfig(dir) === merged)
+    // and over a REAL saved experiment dir: read → override → write → read
+    val bundle = Pipeline.buildBundle()
+    val exDir = Experiments.save(dir, "deploy", bundle, bundle.weights)
+    val cfg0 = Experiments.readConfig(exDir)
+    assert(cfg0("scope") === bundle.scope.toString)
+    val cfg1 = Experiments.applyOverrides(cfg0, "scope:2,dropout:0.25")
+    Experiments.writeConfig(exDir, cfg1)
+    val back = Experiments.readConfig(exDir)
+    assert(back("scope") === "2" && back("dropout") === "0.25")
+    assert(back - "scope" - "dropout" === cfg0 - "scope" - "dropout")
+  }
+
   test("Senna reader: order-preserving word↔row mapping, UNK id 0, last-wins dupes") {
     val dir = Files.createTempDirectory("graft-senna").toString
     Files.write(java.nio.file.Paths.get(s"$dir/words.lst"),

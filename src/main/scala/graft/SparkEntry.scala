@@ -1281,10 +1281,14 @@ object SparkEntry {
          SELECT n_docs, COUNT(*) AS n_fingerprints
          FROM cl WHERE n_docs > 1 GROUP BY n_docs""",
 
+    // stop-fingerprint rule mirrored exactly: fingerprints shared by more
+    // than maxDf=50 docs are boilerplate and contribute no pairs
     "q_winnow_pairs" ->
-      s"""$winnowFpCte
+      s"""$winnowFpCte,
+         keep AS (SELECT doc_id, fp FROM fp
+           QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 50)
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id""",
+         FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id""",
 
     // ---- banded-ANN family: EXACT oracles (the seeded hyperplanes are a
     // pure function of the seed — materialized above as VALUES literals,

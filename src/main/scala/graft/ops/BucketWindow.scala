@@ -15,6 +15,50 @@ package graft.ops
  */
 private[ops] object BucketWindow {
 
+  /** All-or-nothing bucket expansion: buffer a bucket's ids (over rows
+    * sorted by key within the partition) and emit its pairs ONLY if the
+    * bucket holds at most `maxDf` ids — buckets past the cap contribute
+    * NOTHING and every id in them is counted on the accumulator. This is
+    * the document-frequency stop rule of fingerprint dedup (a fingerprint
+    * shared by thousands of documents is boilerplate, not near-dup
+    * signal), with O(maxDf) task memory: the buffer never grows past
+    * maxDf + 1 even on a web-scale mega-bucket. */
+  def pairsIfSmall[K](it: Iterator[(K, Long)], maxDf: Int,
+      dropped: org.apache.spark.util.LongAccumulator,
+      tag: String): Iterator[(Long, Long)] = {
+    var warned = false
+    val rows = it.buffered
+    new Iterator[(Long, Long)] {
+      private var out: Iterator[(Long, Long)] = Iterator.empty
+      private def fill(): Unit = {
+        while (!out.hasNext && rows.hasNext) {
+          val key = rows.head._1
+          val buf = new scala.collection.mutable.ArrayBuffer[Long](16)
+          var overflow = 0L
+          while (rows.hasNext && rows.head._1 == key) {
+            val id = rows.next()._2
+            if (buf.size <= maxDf) buf += id else overflow += 1
+          }
+          if (buf.size > maxDf) {
+            dropped.add(buf.size + overflow)
+            if (!warned) {
+              System.err.println(s"[graft.$tag] bucket $key exceeds maxDf=$maxDf — " +
+                "dropping the whole bucket (stop-fingerprint rule; see dropped-ids accumulator)")
+              warned = true
+            }
+          } else {
+            // ids arrive sorted; strict < skips duplicate-id self-pairs
+            out = buf.indices.iterator.flatMap(i =>
+              Iterator.range(i + 1, buf.size)
+                .collect { case j if buf(i) < buf(j) => (buf(i), buf(j)) })
+          }
+        }
+      }
+      def hasNext: Boolean = { fill(); out.hasNext }
+      def next(): (Long, Long) = { fill(); out.next() }
+    }
+  }
+
   def pairs[K](it: Iterator[(K, Long)], maxBucket: Int,
       dropped: org.apache.spark.util.LongAccumulator,
       tag: String, emitBoth: Boolean = false): Iterator[(Long, Long)] = {

@@ -122,15 +122,16 @@ object TextAnalysis {
   }
 
   /** Winnow near-dup candidate pairs at corpus scale: doc pairs sharing at
-    * least one winnow fingerprint, expanded INSIDE fingerprint buckets via
-    * the bounded streaming window ([[BucketWindow.pairs]]) — the same
-    * shape as the minhash-LSH banding: ONE shuffle keyed by fingerprint
-    * carrying (fingerprint, doc_id) only, O(maxBucket) task memory, and a
-    * boilerplate fingerprint shared by more than `maxBucket` docs drops
-    * overflow ids onto the "graft.winnow.dropped_ids" accumulator instead
-    * of exploding quadratically. */
+    * least one DISCRIMINATIVE winnow fingerprint — the same banding shape
+    * as minhash-LSH (ONE shuffle keyed by fingerprint carrying
+    * (fingerprint, doc_id) only), expanded in-bucket by the all-or-nothing
+    * kernel [[BucketWindow.pairsIfSmall]]: a fingerprint shared by more
+    * than `maxDf` documents is boilerplate (a stop-fingerprint), carries no
+    * near-dup signal, and would expand quadratically, so its bucket emits
+    * nothing and its ids land on the "graft.winnow.dropped_ids"
+    * accumulator. Task memory is O(maxDf) regardless of bucket size. */
   def winnowCandidatePairs(spark: org.apache.spark.sql.SparkSession,
-      documents: DataFrame, k: Int = 8, w: Int = 6, maxBucket: Int = 10000,
+      documents: DataFrame, k: Int = 8, w: Int = 6, maxDf: Int = 50,
       droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     val dropped = droppedAcc.getOrElse(
@@ -139,7 +140,7 @@ object TextAnalysis {
       .select(col("fingerprint"), col("doc_id")).as[(Long, Long)]
       .repartition(col("fingerprint"))
       .sortWithinPartitions(col("fingerprint"), col("doc_id"))
-      .mapPartitions(it => BucketWindow.pairs(it, maxBucket, dropped, "winnow"))
+      .mapPartitions(it => BucketWindow.pairsIfSmall(it, maxDf, dropped, "winnow"))
       .toDF("doc_a", "doc_b")
       .distinct()
   }

@@ -382,6 +382,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       "the default CC path must fully collapse a 40-deep chain")
   }
 
+  test("winnow pairs: stop-fingerprint df cap drops whole mega-buckets, keeps small ones") {
+    // 8 docs all sharing one long boilerplate substring (>= w+k-1 chars,
+    // so they share its winnow fingerprints); docs 1 and 2 additionally
+    // share a UNIQUE long substring no other doc has
+    val boiler = "this exact boilerplate footer appears on every single page of the site"
+    val rare = "zq unique shared incident paragraph only here zq"
+    def pad(i: Int) = s"doc $i body ${("x" + i.toString) * 6}"
+    val docs = (1 to 8).map { i =>
+      val extra = if (i <= 2) s" $rare" else ""
+      (i.toLong, s"${pad(i)} $boiler$extra", "en")
+    }.toDF("doc_id", "text", "lang")
+    val acc = spark.sparkContext.longAccumulator("test.winnow.dropped")
+    // maxDf = 4 < 8: the boilerplate buckets must vanish, the rare-substring
+    // bucket (df = 2) must survive -> exactly the (1,2) pair
+    val pairs = graft.ops.TextAnalysis.winnowCandidatePairs(spark, docs, maxDf = 4,
+      droppedAcc = Some(acc))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+    assert(acc.value > 0, "dropped mega-bucket ids must be counted")
+    // with the cap lifted the boilerplate cluster fully connects
+    val all = graft.ops.TextAnalysis.winnowCandidatePairs(spark, docs, maxDf = 1000)
+      .count()
+    assert(all === 28L, s"8 docs sharing boilerplate give C(8,2) pairs, got $all")
+  }
+
   test("simhashPairs bucket cap bounds in-bucket expansion") {
     val rows = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta", "en"))
     val d = rows.toDF("doc_id", "text", "lang")

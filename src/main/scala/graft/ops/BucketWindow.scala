@@ -61,7 +61,7 @@ private[ops] object BucketWindow {
 
   def pairs[K](it: Iterator[(K, Long)], maxBucket: Int,
       dropped: org.apache.spark.util.LongAccumulator,
-      tag: String, emitBoth: Boolean = false): Iterator[(Long, Long)] = {
+      tag: String): Iterator[(Long, Long)] = {
     var started = false
     var cur: K = null.asInstanceOf[K]
     var warned = false
@@ -82,16 +82,9 @@ private[ops] object BucketWindow {
         // lazy: flatMap exhausts this before touching the next row, and
         // appends never move indices 0..n-1 — no per-row array copy.
         // strict < keeps duplicate ids from self-pairing (parity with the
-        // strict y > x of the expression forms this replaced).
-        // emitBoth yields BOTH orientations of each pair — the symmetric
-        // form kNN ranking consumes directly, saving the checkpoint +
-        // self-union + reorientation stages a downstream symmetrize costs
-        Iterator.range(0, n).flatMap { i =>
-          if (buf(i) < id) {
-            if (emitBoth) Iterator((buf(i), id), (id, buf(i)))
-            else Iterator.single((buf(i), id))
-          } else Iterator.empty
-        }
+        // strict y > x of the expression forms this replaced)
+        Iterator.range(0, n).flatMap(i =>
+          if (buf(i) < id) Some((buf(i), id)) else None)
       }
     }
   }

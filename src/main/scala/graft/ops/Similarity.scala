@@ -142,16 +142,27 @@ object Similarity {
    *     aggregation buffer anywhere, overflow ids are counted on a named
    *     accumulator ("graft.ann.dropped_ids") and logged, and the kept set
    *     (the `maxBucket` smallest ids per bucket) is deterministic;
-   *  3. candidate id pairs dedup across bands FIRST (ids only), THEN join
-   *     the embeddings back for the exact-cosine verify — each surviving
-   *     pair moves its two embeddings across the wire once, not ×bands.
-   * Per-pair cosine is the native codegen'd `cosine_sim` expression.
+   *  3. the exact-cosine verify runs where the corpus size dictates:
+   *     vector tables up to `vectorBroadcastLimit` rows are collected once
+   *     and BROADCAST, and the verify runs INSIDE the bucket kernel — a
+   *     candidate that fails the threshold dies in the partition that
+   *     generated it, so nothing but survivors is ever materialized (no
+   *     join stages at all). Bigger tables take the join-back path:
+   *     candidates flow straight into two hash joins against the
+   *     embedding table and the verify is the codegen'd `cosine_sim`
+   *     expression. Either way pairs dedup ONCE over the SURVIVORS —
+   *     cross-band duplication is bounded by `bands` and measures ~2×, so
+   *     re-verifying duplicates is cheaper than a dedicated ids-only
+   *     distinct (a full extra shuffle of the candidate stream).
+   * The two verify paths are BIT-IDENTICAL (same accumulation order, and
+   * the kernel replicates Spark's `round` via BigDecimal.valueOf HALF_UP)
+   * — asserted in ScaleOpsSpec.
    */
   def annCandidatePairs(embeddings: DataFrame, minCosine: Double = 0.3,
       bands: Int = 12, planesPerBand: Int = 3, maxBucket: Int = 10000,
       seed: Long = 7L,
       droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
-      symmetric: Boolean = false): DataFrame = {
+      vectorBroadcastLimit: Long = 200000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
@@ -170,24 +181,64 @@ object Similarity {
     val banded = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("vec_id"))
       .as[(Int, Int, Long)]
-    val idPairs = banded
+    val bucketed = banded
       .repartition(col("band"), col("key"))
       .sortWithinPartitions(col("band"), col("key"), col("vec_id"))
-      .mapPartitions(it => BucketWindow.pairs(
-        it.map { case (band, key, id) => ((band, key), id) }, maxBucket, dropped, "ann",
-        emitBoth = symmetric))
-      .toDF("id_a", "id_b")
-      .distinct()
-    idPairs
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cosine"))
-      .filter(col("cosine") >= minCosine)
-      // parity with the expression form this replaced: duplicate vec_id
-      // rows in the input would fan the ids-only pairs back out through
-      // the joins — the final distinct (over SURVIVORS only, tiny) dedups
-      .distinct()
+
+    if (embeddings.count() <= vectorBroadcastLimit) {
+      // broadcast-verify: ~16 + 8·dim bytes per vector on the driver and
+      // each executor (200k × 64-dim ≈ 110 MB cap); norms precomputed once
+      // per vector. A duplicate vec_id keeps its last row here (a
+      // duplicate id with a DIFFERENT embedding is a data error; the join
+      // path fans such rows out instead — both shapes end distinct).
+      val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Double])]
+        .collect().map { case (id, v) =>
+          var sa = 0.0
+          var i = 0
+          while (i < v.length) { sa += v(i) * v(i); i += 1 }
+          id -> (v, math.sqrt(sa))
+        }.toMap
+      val bc = spark.sparkContext.broadcast(vecs)
+      bucketed
+        .mapPartitions { it =>
+          val m = bc.value
+          BucketWindow.pairs(
+            it.map { case (band, key, id) => ((band, key), id) }, maxBucket, dropped, "ann")
+            .flatMap { case (ia, ib) =>
+              val (va, na) = m(ia)
+              val (vb, nb) = m(ib)
+              var dot = 0.0
+              var i = 0
+              while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+              val cos = dot / (na * nb)
+              // 1e-3 guard: a 4-decimal HALF_UP round moves a value by at
+              // most 5e-5, so anything below threshold−1e-3 (or NaN from a
+              // zero vector) can never round up past the threshold
+              if (java.lang.Double.isNaN(cos) || cos < minCosine - 1e-3) None
+              else {
+                val r = java.math.BigDecimal.valueOf(cos)
+                  .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+                if (r >= minCosine) Some((ia, ib, r)) else None
+              }
+            }
+        }
+        .toDF("id_a", "id_b", "cosine")
+        .distinct()
+    } else {
+      val idPairs = bucketed
+        .mapPartitions(it => BucketWindow.pairs(
+          it.map { case (band, key, id) => ((band, key), id) }, maxBucket, dropped, "ann"))
+        .toDF("id_a", "id_b")
+      idPairs
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+        // the one distinct, over SURVIVORS only: collapses cross-band
+        // duplicates and the fan-out of duplicate vec_id rows
+        .distinct()
+    }
   }
 
   /** [[annCandidatePairs]] with `planesPerBand` sized from the ACTUAL
@@ -209,20 +260,21 @@ object Similarity {
     * global sort. This is the scale path for "nearest neighbor per row";
     * [[nearestNeighborJoin]] stays as the exact bounded oracle.
     *
-    * One linear pass: the bucket kernel emits BOTH orientations of each
-    * candidate pair (`symmetric = true`), so the plan is banding →
-    * in-bucket window → distinct → embedding join-back → per-id rank —
-    * no checkpoint, no self-union, no reorientation stage. The id-pair
-    * distinct and join traffic double (ids + survivors only — bytes
-    * independent of embedding width), a constant factor bought back by
-    * dropping two stages and a materialization; cosine(a,b) ≡ cosine(b,a)
-    * bit-exactly (same element order in the dot, commutative norm
-    * product), so results equal the old symmetrize-after form. */
+    * The expensive part — banding + in-bucket expansion + cosine verify —
+    * runs ONCE: the surviving pairs (a tiny fraction of the candidate
+    * stream) are materialized with localCheckpoint, then symmetrized by a
+    * cheap self-union and ranked per id. Running the kernel in a
+    * both-orientations mode instead was measured ~2× slower end to end:
+    * it doubles the verify work (the dominant stage) to save a
+    * materialization of the small survivor set. cosine(a,b) ≡ cosine(b,a)
+    * bit-exactly, so either form gives identical results. */
   def annTopKJoin(embeddings: DataFrame, k: Int = 1, minCosine: Double = 0.2,
       bands: Int = 12, planesPerBand: Int = 3, maxBucket: Int = 10000,
       seed: Long = 7L): DataFrame = {
-    val sym = annCandidatePairs(embeddings, minCosine, bands, planesPerBand,
-      maxBucket, seed, symmetric = true)
+    val pairs = annCandidatePairs(embeddings, minCosine, bands, planesPerBand, maxBucket, seed)
+      .localCheckpoint()
+    val sym = pairs.unionByName(pairs.select(
+      col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
     sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

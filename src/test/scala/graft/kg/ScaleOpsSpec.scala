@@ -382,6 +382,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       "the default CC path must fully collapse a 40-deep chain")
   }
 
+  test("ANN broadcast-verify path is bit-identical to the join-back path") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(limit: Long) = graft.ops.Similarity
+      .annCandidatePairs(e, 0.3, vectorBroadcastLimit = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaBroadcast = run(1000000L) // 500 vectors -> kernel verify
+    val viaJoin = run(0L)            // forced join-back path
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBroadcast === viaJoin,
+      "in-kernel BigDecimal rounding must equal Spark's round() bit-exactly")
+  }
+
   test("winnow pairs: stop-fingerprint df cap drops whole mega-buckets, keeps small ones") {
     // 8 docs all sharing one long boilerplate substring (>= w+k-1 chars,
     // so they share its winnow fingerprints); docs 1 and 2 additionally

@@ -222,6 +222,18 @@ object Dedup {
       .agg(sigs.head, sigs.tail: _*)
   }
 
+  /** Order-independent content signature of a two-column DISTINCT-row
+    * table: (row count, XOR of xxhash64 over both columns). ONE
+    * partial-aggregated scan — map-side combine, a single row moves — vs
+    * the except-join a set-equality check costs. The iterative CC loops
+    * use signature equality as their convergence check; a false
+    * "converged" needs a 64-bit xor collision between consecutive rounds
+    * (~2^-64 per comparison — far below any practical noise floor). */
+  private def tableSignature(df: DataFrame, c1: String, c2: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)), expr(s"bit_xor(xxhash64($c1, $c2))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /**
    * Connected components over an undirected pair graph — near-dup CLUSTERS:
    * every document labeled with the smallest doc id reachable through
@@ -245,6 +257,9 @@ object Dedup {
     var labels = nodes.select(col("node"), col("node").as("cluster")).localCheckpoint()
     var converged = false
     var it = 0
+    // one content signature per round, previous round's memoized: the
+    // convergence check costs ONE partial-aggregated scan, not a join
+    var sig = tableSignature(labels, "node", "cluster")
     while (!converged && it < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("node").as("b"), col("cluster").as("nbr_cluster")), Seq("b"))
@@ -255,11 +270,10 @@ object Dedup {
         .select(col("node"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.select(col("node"), col("cluster").as("old")), Seq("node"))
-        .filter(col("cluster") =!= col("old")).count()
+      val newSig = tableSignature(updated, "node", "cluster")
       labels = updated
-      converged = changed == 0
+      converged = newSig == sig
+      sig = newSig
       it += 1
     }
     if (!converged)
@@ -297,7 +311,8 @@ object Dedup {
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .distinct()
     var edges = canon(pairs).localCheckpoint()
-    var converged = edges.isEmpty
+    var sig = tableSignature(edges, "u", "v")
+    var converged = sig._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
       // large-star: m(u) = min(N(u) ∪ {u}); for (u,v) with v > u: edge (v, m)
@@ -318,10 +333,10 @@ object Dedup {
         withM.select(col("v").as("a"), col("m").as("b"))
           .unionByName(withM.select(col("u").as("a"), col("m").as("b"))))
         .localCheckpoint()
-      val changed = small.count() != edges.count() ||
-        small.except(edges).limit(1).count() > 0
+      val newSig = tableSignature(small, "u", "v")
       edges = small
-      converged = !changed
+      converged = newSig == sig
+      sig = newSig
       it += 1
     }
     if (!converged)

@@ -484,7 +484,8 @@ object SparkEntry {
     "q_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairsFromSigs(
         SigCache.sigs(s, dir).select(col("doc_id"), col("h1"), col("h2")))),
-    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))
+      .withColumn("hamming", col("hamming").cast("long"))),
     // near-dup clusters: LSH pairs → connected components (min-label
     // propagation); exact oracle via DuckDB recursive CTE
     "q_dedup_clusters" -> ((s, dir) =>
@@ -1271,6 +1272,11 @@ object SparkEntry {
            ROUND(1.0 / list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                 x -> exp(x - list_max(CAST(embedding AS DOUBLE[]))))), 6) AS conf
          FROM embeddings""",
+
+    // ---- 64-bit hash kernels: EXACT oracles (XXH64 and FNV-1a recomputed
+    // in DuckDB with HUGEINT mod-2^64 arithmetic — see OracleHashSql)
+    "q_minhash_sig64" -> OracleHashSql.minhash64Oracle(),
+    "q_simhash_pairs" -> OracleHashSql.simhashPairsOracle(),
 
     // ---- winnowing: EXACT oracles (Rabin-Karp polynomial recomputed in
     // HUGEINT mod-2^64 arithmetic — bit-parity with the Scala Long wrap)

@@ -513,6 +513,15 @@ object SparkEntry {
     // Gopher-style repetition quality gates (distinct ratio, top-token and
     // top-2gram fractions)
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+    // PII redaction over a deterministically PII-spiked corpus (the
+    // synthetic docs carry no emails/phones, so the query injects one of
+    // each — derived from doc_id — and the oracle replicates the spike)
+    "q_pii_redact" -> ((s, dir) => {
+      val spiked = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 555-01"), col("doc_id"), lit(" now")))
+      TextAnalysis.redactPii(spiked)
+    }),
     // deterministic mixture sampling: per-lang content-hash keep rates
     // (en 50%, es 25%, de 12.5%, fr 6.25%, zh 3.1%; everything else 0)
     "q_mixture_sample" -> ((s, dir) =>
@@ -1049,6 +1058,19 @@ object SparkEntry {
            CAST(t1.top1 AS DOUBLE) / b.n_tokens AS top_token_frac,
            CAST(COALESCE(t2.top2, 0) AS DOUBLE) / GREATEST(b.n_tokens - 1, 1) AS top_2gram_frac
          FROM base b JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)""",
+
+    "q_pii_redact" ->
+      """WITH spiked AS (SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or +1 555-01' || doc_id || ' now' AS text
+         FROM documents),
+         ne AS (SELECT doc_id, text,
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+         FROM spiked)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '\+?\d[\d\- ]{6,}\d')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(t1, '\+?\d[\d\- ]{6,}\d', '<PHONE>', 'g')) AS redacted_md5
+         FROM ne""",
 
     "q_mixture_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -145,6 +145,29 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** PII patterns shared by the operator and its oracle — a regex subset
+    * with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+    * character classes and bounded/unbounded greedy quantifiers only, no
+    * backreferences or lookaround. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?\\d[\\d\\- ]{6,}\\d"
+
+  /** PII redaction — the scrubbing pass a training corpus runs before the
+    * tokenizer sees it: emails → `<EMAIL>`, phone-like digit runs →
+    * `<PHONE>`, with per-document match counts for the removal report.
+    * Email redaction runs FIRST (local parts may contain digits that the
+    * phone pattern would otherwise eat). Pure narrow projection — scales
+    * linearly, pushes to the scan. The digest of the redacted text keeps
+    * the verify content-exact without hauling full documents around. */
+  def redactPii(documents: DataFrame): DataFrame = {
+    val noEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+      md5(regexp_replace(noEmail, phoneRe, "<PHONE>")).as("redacted_md5"))
+  }
+
   /** Deterministic content-hash sampling — the reproducible alternative to
     * rand() for carving held-out / subsample splits from a 100 TB corpus:
     * keep rows whose md5(text) hex prefix sorts below `hexBound`

@@ -165,4 +165,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(hot.count() > 20, "need enough hot-key rows for the spread test")
     assert(saltCount >= 6, s"hot key must spread over most salt buckets, got $saltCount")
   }
+
+  test("redactPii: emails first, phone runs second, counts and digest exact") {
+    val docs = Seq(
+      (1L, "mail a1.b-c%d@ex-ample.co.uk now and call +1 555-123 4567 ok", "en"),
+      (2L, "two mails x@y.io z@w.ai and 0123456789", "en"),
+      (3L, "clean text with no pii at all", "en"),
+      (4L, "not-an-email @ nor a phone 12-34", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = graft.ops.TextAnalysis.redactPii(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L)._1 === 1L && r(1L)._2 === 1L)
+    assert(r(2L)._1 === 2L && r(2L)._2 === 1L)
+    assert(r(3L) === ((0L, 0L, md5Hex("clean text with no pii at all"))))
+    assert(r(4L)._1 === 0L && r(4L)._2 === 0L)
+    // the digest is of the REDACTED text — replacements verified literally
+    assert(r(2L)._3 === md5Hex("two mails <EMAIL> <EMAIL> and <PHONE>"))
+    assert(r(1L)._3 === md5Hex("mail <EMAIL> now and call <PHONE> ok"))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

@@ -51,6 +51,30 @@ object SparkEntry {
     }
   }
 
+  /** IVF centroids computed ONCE per (session, dir) — the coarse-quantizer
+    * table is an index-build artifact shared by every consumer (one-shot
+    * search AND index write), mirroring [[SigCache]]'s at-scale contract.
+    * Deterministic, so caching cannot change results (pins unchanged). */
+  private object CentroidCache {
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]]())
+    def centroids(s: SparkSession, dir: String): Array[Array[Double]] = {
+      val perSession = {
+        val existing = cache.get(s)
+        if (existing != null) existing
+        else {
+          val fresh = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+          val raced = cache.putIfAbsent(s, fresh)
+          if (raced != null) raced else fresh
+        }
+      }
+      perSession.getOrElseUpdate(dir,
+        graft.ops.Similarity.ivfCentroids(
+          s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") =!= 0)))
+    }
+  }
+
   /** Flagship: the full KG-construction pipeline (pages → extract → segment
     * → mention-detect → featurize → score → mask → link → dedup) over the
     * deterministic synthetic corpus. */
@@ -542,12 +566,16 @@ object SparkEntry {
         .getSeq[Float](0).toArray
       Similarity.lshCosineTopK(e.filter(col("vec_id") =!= 0), q, 10)
     }),
-    // IVF index family: k-means coarse quantizer, nprobe-list search
+    // IVF index family: k-means coarse quantizer, nprobe-list search.
+    // The Lloyd iterations run ONCE per (session, dir) — the centroid
+    // table is the index-build artifact, shared by every consumer, not a
+    // per-query recompute (same contract as SigCache for signatures)
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
         .getSeq[Float](0).toArray
-      Similarity.ivfCosineTopK(e.filter(col("vec_id") =!= 0), q, 10)
+      Similarity.ivfCosineTopK(e.filter(col("vec_id") =!= 0), q, 10,
+        precomputed = Some(CentroidCache.centroids(s, dir)))
     }),
     // materialized-index paths IN the battery: write the index once to a
     // staging dir, probe it through partition pruning, return the top-k
@@ -568,7 +596,8 @@ object SparkEntry {
         .getSeq[Float](0).toArray
       val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
       try {
-        Similarity.writeIvfIndex(e.filter(col("vec_id") =!= 0), idx)
+        Similarity.writeIvfIndex(e.filter(col("vec_id") =!= 0), idx,
+          precomputed = Some(CentroidCache.centroids(s, dir)))
         Similarity.queryIvfIndex(s, idx, q, 10).localCheckpoint()
       } finally graft.kg.Lineage.deleteRecursively(idx)
     }),

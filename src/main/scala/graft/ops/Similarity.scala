@@ -362,10 +362,11 @@ object Similarity {
     * rides along under `_centroids/` — underscore-prefixed, so a plain
     * parquet read of `path` never sees it. */
   def writeIvfIndex(embeddings: DataFrame, path: String,
-      nlist: Int = 8, iters: Int = 5): Unit = {
+      nlist: Int = 8, iters: Int = 5,
+      precomputed: Option[Array[Array[Double]]] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = ivfCentroids(embeddings, nlist, iters)
+    val centroids = precomputed.getOrElse(ivfCentroids(embeddings, nlist, iters))
     val bc = spark.sparkContext.broadcast(centroids)
     asDouble(embeddings).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Double])]
@@ -404,9 +405,10 @@ object Similarity {
     * [[queryIvfIndex]], where the probe prunes partitions at the scan
     * instead of re-assigning the corpus per query. */
   def ivfCosineTopK(embeddings: DataFrame, queryVec: Array[Float], k: Int = 10,
-      nlist: Int = 8, nprobe: Int = 2, iters: Int = 5): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 2, iters: Int = 5,
+      precomputed: Option[Array[Array[Double]]] = None): DataFrame = {
     graft.functions.VectorOps.register(embeddings.sparkSession)
-    val centroids = ivfCentroids(embeddings, nlist, iters)
+    val centroids = precomputed.getOrElse(ivfCentroids(embeddings, nlist, iters))
     val probeLists = nearestLists(centroids, queryVec, nprobe)
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -19,6 +19,30 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-(session, dir) artifact cache, weakly keyed by the SESSION so
+    * entries (and any checkpointed blocks they reference) die with the
+    * session instead of pinning a stopped session for the JVM lifetime.
+    * Assumes `dir` contents are immutable for the session's life — true
+    * of the driver's testdata; a corpus rewritten in place mid-session
+    * would be served stale here. */
+  private final class SessionDirCache[V](load: (SparkSession, String) => V) {
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, V]]())
+    def get(s: SparkSession, dir: String): V = {
+      val perSession = {
+        val existing = cache.get(s)
+        if (existing != null) existing
+        else {
+          val fresh = scala.collection.concurrent.TrieMap.empty[String, V]
+          val raced = cache.putIfAbsent(s, fresh)
+          if (raced != null) raced else fresh
+        }
+      }
+      perSession.getOrElseUpdate(dir, load(s, dir))
+    }
+  }
+
   /** The SHARED minhash signature table: computed ONCE per (session, dir)
     * and materialized (localCheckpoint), then reused by every md5-shingle
     * consumer in the battery (`q_minhash_sig`, `q_lsh_pairs`,
@@ -27,28 +51,10 @@ object SparkEntry {
     * signatures are a written table, and shingle hashing happens exactly
     * once per corpus, not once per downstream query. */
   private object SigCache {
-    // weakly keyed by the SESSION: entries (and their checkpointed blocks'
-    // references) die with the session instead of pinning a stopped
-    // session for the JVM lifetime. Assumes $dir contents are immutable
-    // for the session's life — true of the driver's testdata; a corpus
-    // rewritten in place mid-session would be served stale here.
-    private val cache = java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, DataFrame]]())
-    def sigs(s: SparkSession, dir: String): DataFrame = {
-      val perSession = {
-        val existing = cache.get(s)
-        if (existing != null) existing
-        else {
-          val fresh = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-          val raced = cache.putIfAbsent(s, fresh)
-          if (raced != null) raced else fresh
-        }
-      }
-      perSession.getOrElseUpdate(dir,
-        Dedup.minhashSignatures(
-          s.read.parquet(s"$dir/documents.parquet"), 4).localCheckpoint())
-    }
+    private val cache = new SessionDirCache[DataFrame]((s, dir) =>
+      Dedup.minhashSignatures(
+        s.read.parquet(s"$dir/documents.parquet"), 4).localCheckpoint())
+    def sigs(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
   }
 
   /** IVF centroids computed ONCE per (session, dir) — the coarse-quantizer
@@ -56,23 +62,10 @@ object SparkEntry {
     * search AND index write), mirroring [[SigCache]]'s at-scale contract.
     * Deterministic, so caching cannot change results (pins unchanged). */
   private object CentroidCache {
-    private val cache = java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]]())
-    def centroids(s: SparkSession, dir: String): Array[Array[Double]] = {
-      val perSession = {
-        val existing = cache.get(s)
-        if (existing != null) existing
-        else {
-          val fresh = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-          val raced = cache.putIfAbsent(s, fresh)
-          if (raced != null) raced else fresh
-        }
-      }
-      perSession.getOrElseUpdate(dir,
-        graft.ops.Similarity.ivfCentroids(
-          s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") =!= 0)))
-    }
+    private val cache = new SessionDirCache[Array[Array[Double]]]((s, dir) =>
+      graft.ops.Similarity.ivfCentroids(
+        s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") =!= 0)))
+    def centroids(s: SparkSession, dir: String): Array[Array[Double]] = cache.get(s, dir)
   }
 
   /** Flagship: the full KG-construction pipeline (pages → extract → segment
@@ -503,7 +496,8 @@ object SparkEntry {
     // the shared signature table itself (computed once per battery run;
     // every other md5-shingle query below reuses it via SigCache)
     "q_minhash_sig" -> ((s, dir) => SigCache.sigs(s, dir)),
-    // production 64-bit form (xxhash64 slots; no SQL oracle — content-pinned)
+    // production 64-bit form (xxhash64 slots; exact oracle via the HUGEINT
+    // mod-2^64 XXH64 port in OracleHashSql)
     "q_minhash_sig64" -> ((s, dir) => Dedup.minhashSignatures64(t(s, dir, "documents"))),
     "q_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairsFromSigs(
@@ -1365,7 +1359,8 @@ object SparkEntry {
              ${cosineSql("ea.emb", "eb.emb")} AS cosine
            FROM cand c JOIN e ea ON c.id_a = ea.vec_id
                        JOIN e eb ON c.id_b = eb.vec_id)
-         SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3""",
+         SELECT DISTINCT id_a, id_b, cosine FROM pairs
+         WHERE cosine >= 0.3 AND NOT isnan(cosine)""",
 
     "q_ann_knn" ->
       s"""$annKeysCte,
@@ -1376,7 +1371,8 @@ object SparkEntry {
              ${cosineSql("ea.emb", "eb.emb")} AS cosine
            FROM cand c JOIN e ea ON c.id_a = ea.vec_id
                        JOIN e eb ON c.id_b = eb.vec_id),
-         surv AS (SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2)
+         surv AS (SELECT DISTINCT id_a, id_b, cosine FROM pairs
+                  WHERE cosine >= 0.2 AND NOT isnan(cosine))
          SELECT id_a, id_b, cosine,
            ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rn
          FROM surv

@@ -91,8 +91,9 @@ object BackpropConcat {
   /** One example's loss, accumulating dL/dθ into `grad` (+=). */
   def accumulate(f: Array[Double], l: Layout, retain: Double,
       channels: Array[Array[Int]], label: Int, mask: Array[Float],
-      grad: Array[Double]): Double = {
+      grad: Array[Double], truncate: Int = 0): Double = {
     val T = channels(0).length
+    val tMin = if (truncate > 0) math.max(0, T - truncate) else 0
     val xs = embed(f, l, retain, channels)
     val p1I = new Array[Array[Double]](T); val p1F = new Array[Array[Double]](T)
     val p1C = new Array[Array[Double]](T); val p1O = new Array[Array[Double]](T)
@@ -140,13 +141,13 @@ object BackpropConcat {
     while (r < rS) { grad(l.denseB + r) += dLogit(r); r += 1 }
 
     val dScaled = BackpropStack.backwardLayer(f, l.l2, scaled, s2,
-      p2I, p2F, p2C, p2O, c2, dStates2, grad)
+      p2I, p2F, p2C, p2O, c2, dStates2, grad, tMin)
     val dStates1 = dScaled.map(_.map(_ * retain))
     val dXs = BackpropStack.backwardLayer(f, l.l1, xs, s1,
-      p1I, p1F, p1C, p1O, c1, dStates1, grad)
+      p1I, p1F, p1C, p1O, c1, dStates1, grad, tMin)
     // route each timestep's input gradient back into its channel's table
     val d = l.embDim
-    var t = 0
+    var t = tMin
     while (t < T) {
       var ch = 0
       while (ch < l.nCh) {

@@ -142,14 +142,18 @@ object BackpropStack {
       states: Array[Array[Double]], preI: Array[Array[Double]],
       preF: Array[Array[Double]], preC: Array[Array[Double]],
       preO: Array[Array[Double]], cs: Array[Array[Double]],
-      dStates: Array[Array[Double]], grad: Array[Double]): Array[Array[Double]] = {
+      dStates: Array[Array[Double]], grad: Array[Double],
+      tMin: Int = 0): Array[Array[Double]] = {
     val h = c.hidden; val d = c.inDim
     val T = xs.length
     val dXs = Array.ofDim[Double](T, d)
     val dh = new Array[Double](h)
     val dc = new Array[Double](h)
+    // BPTT truncation (theano scan semantics, per layer): the backward
+    // scan runs only the last T - tMin iterations; gradient injections
+    // and dXs before tMin stay zero
     var t = T - 1
-    while (t >= 0) {
+    while (t >= tMin) {
       var k = 0
       while (k < h) { dh(k) += dStates(t)(k); k += 1 }
       val cell = cs(t)
@@ -227,8 +231,10 @@ object BackpropStack {
 
   /** One example's loss, accumulating dL/dθ into `grad` (+=). */
   def accumulate(f: Array[Double], l: Layout, retain: Double,
-      seq: Array[Int], label: Int, mask: Array[Float], grad: Array[Double]): Double = {
+      seq: Array[Int], label: Int, mask: Array[Float], grad: Array[Double],
+      truncate: Int = 0): Double = {
     val T = seq.length
+    val tMin = if (truncate > 0) math.max(0, T - truncate) else 0
     val xs = embed(f, l, retain, seq)
     val p1I = new Array[Array[Double]](T); val p1F = new Array[Array[Double]](T)
     val p1C = new Array[Array[Double]](T); val p1O = new Array[Array[Double]](T)
@@ -278,13 +284,14 @@ object BackpropStack {
 
     // layer 2 backward → gradient wrt the SCALED layer-1 states
     val dScaled = backwardLayer(f, l.l2, scaled, s2, p2I, p2F, p2C, p2O, c2,
-      dStates2, grad)
+      dStates2, grad, tMin)
     // undo the inter-layer dropout scale: d s1 = d scaled * retain
     val dStates1 = dScaled.map(_.map(_ * retain))
-    // layer 1 backward → gradient wrt the scaled embeddings
+    // layer 1 backward → gradient wrt the scaled embeddings (both scans
+    // truncate at the same window, matching per-RNN truncate_gradient)
     val dXs = backwardLayer(f, l.l1, xs, s1, p1I, p1F, p1C, p1O, c1,
-      dStates1, grad)
-    var t = 0
+      dStates1, grad, tMin)
+    var t = tMin
     while (t < T) {
       val w = seq(t)
       var i = 0

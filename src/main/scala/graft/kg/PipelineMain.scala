@@ -81,23 +81,32 @@ object PipelineMain {
       case (b, false) => b
     }
     // --options (train.py:115-121): merge k:v overrides over the loaded
-    // experiment's config (or the fixture-default one), record the merged
-    // config next to the graph tables, and apply the live `scope` override
+    // experiment's config (or the fixture-default one), APPLY the live
+    // knobs (scope, dropout), REJECT structural overrides that contradict
+    // the loaded weight tensors (silently recording them would produce a
+    // config.json that lies about the run), and persist the effective
+    // config next to the graph tables
+    val defaultBundle = bundle0.getOrElse(Pipeline.buildBundle())
     val baseConfig =
       if (experiment.nonEmpty) Experiments.readConfig(experiment)
-      else {
-        val b0 = bundle0.getOrElse(Pipeline.buildBundle())
-        Map("emb_dim" -> b0.weights.embDim.toString,
-          "hidden" -> b0.weights.hidden.toString,
-          "rel_size" -> b0.weights.relSize.toString,
-          "dropout" -> b0.weights.dropout.toString,
-          "scope" -> b0.scope.toString)
-      }
+      else Map(
+        "emb_dim" -> defaultBundle.weights.embDim.toString,
+        "hidden" -> defaultBundle.weights.hidden.toString,
+        "rel_size" -> defaultBundle.weights.relSize.toString,
+        "dropout" -> defaultBundle.weights.dropout.toString,
+        "scope" -> defaultBundle.scope.toString)
     val effective = Experiments.applyOverrides(baseConfig, options)
-    val bundle =
-      if (effective("scope") != baseConfig("scope"))
-        Some(bundle0.getOrElse(Pipeline.buildBundle()).copy(scope = effective("scope").toInt))
-      else bundle0
+    Seq("emb_dim", "hidden", "rel_size").foreach { k =>
+      if (baseConfig.contains(k) && effective(k) != baseConfig(k))
+        throw new IllegalArgumentException(
+          s"--options $k:${effective(k)} contradicts the loaded weight tensors " +
+            s"($k=${baseConfig(k)}); structural dims come from the weights, not the config")
+    }
+    var b = defaultBundle
+    if (effective("scope") != baseConfig("scope")) b = b.copy(scope = effective("scope").toInt)
+    if (baseConfig.contains("dropout") && effective("dropout") != baseConfig("dropout"))
+      b = b.copy(weights = b.weights.copy(dropout = effective("dropout").toFloat))
+    val bundle = if (b eq defaultBundle) bundle0 else Some(b)
     val report = Pipeline.runCheckpointed(spark, corpus, out, buckets = buckets,
       salted = salted, bundle = bundle)
     Experiments.writeConfig(out, effective)

@@ -112,7 +112,7 @@ object Trainer {
   def trainFullConcat(spark: SparkSession, trainCh: Dataset[ChanRow], devCh: Dataset[ChanRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L, reg: Double = 1e-4): FlatTrainResult = {
+      seed: Long = 42L, reg: Double = 1e-4, truncate: Int = 50): FlatTrainResult = {
     val b = bundleBc.value
     val layout = BackpropConcat.Layout(
       Array(b.word.size, b.ner.size, b.word.size, b.word.size),
@@ -130,7 +130,8 @@ object Trainer {
           BackpropConcat.logits(f, layout, retain, chans(row))
         def accumulateRow(f: Array[Double], retain: Double, row: ChanRow,
             mask: Array[Float], grad: Array[Double]): Double =
-          BackpropConcat.accumulate(f, layout, retain, chans(row), row.label, mask, grad)
+          BackpropConcat.accumulate(f, layout, retain, chans(row), row.label, mask, grad,
+            truncate)
       },
       BackpropConcat.init(layout, seed), epochs, lr, optimizer, clipNorm, reg)
   }
@@ -289,7 +290,7 @@ object Trainer {
   def trainFullStacked(spark: SparkSession, trainSeq: Dataset[SeqRow], devSeq: Dataset[SeqRow],
       bundleBc: Broadcast[Pipeline.ScoringBundle], epochs: Int = 10, lr: Double = 0.01,
       optimizer: String = "rmsprop", clipNorm: Double = 25.0,
-      seed: Long = 42L): FlatTrainResult = {
+      seed: Long = 42L, truncate: Int = 50, reg: Double = 0.0): FlatTrainResult = {
     val b = bundleBc.value
     val layout = BackpropStack.Layout(b.word.size, b.weights.embDim,
       b.weights.hidden, b.weights.hidden, b.rel.size)
@@ -301,9 +302,9 @@ object Trainer {
           BackpropStack.logits(f, layout, retain, seq)
         def accumulate(f: Array[Double], retain: Double, seq: Array[Int], label: Int,
             mask: Array[Float], grad: Array[Double]): Double =
-          BackpropStack.accumulate(f, layout, retain, seq, label, mask, grad)
+          BackpropStack.accumulate(f, layout, retain, seq, label, mask, grad, truncate)
       },
-      BackpropStack.init(layout, seed), epochs, lr, optimizer, clipNorm)
+      BackpropStack.init(layout, seed), epochs, lr, optimizer, clipNorm, reg)
   }
 
   /** `single_conv` full-model training — Convolution1D + tanh +

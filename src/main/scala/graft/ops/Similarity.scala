@@ -185,7 +185,13 @@ object Similarity {
       .repartition(col("band"), col("key"))
       .sortWithinPartitions(col("band"), col("key"), col("vec_id"))
 
-    if (embeddings.count() <= vectorBroadcastLimit) {
+    // O(limit) path decision: scan at most limit+1 rows instead of a full
+    // count — the 100 TB corpus must not pay a complete pass just to learn
+    // "it's big"
+    val fitsBroadcast =
+      embeddings.limit(math.min(vectorBroadcastLimit + 1, Int.MaxValue.toLong).toInt)
+        .count() <= vectorBroadcastLimit
+    if (fitsBroadcast) {
       // broadcast-verify: ~16 + 8·dim bytes per vector on the driver and
       // each executor (200k × 64-dim ≈ 110 MB cap); norms precomputed once
       // per vector. A duplicate vec_id keeps its last row here (a
@@ -234,7 +240,11 @@ object Similarity {
         .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cosine"))
-        .filter(col("cosine") >= minCosine)
+        // NaN (a zero vector has no defined cosine) is EXCLUDED explicitly:
+        // Spark's SQL comparison treats NaN as greater than any value, so a
+        // bare >= filter would keep NaN pairs here while the kernel path
+        // drops them — the isnan guard keeps both paths bit-identical
+        .filter(col("cosine") >= minCosine && !isnan(col("cosine")))
         // the one distinct, over SURVIVORS only: collapses cross-band
         // duplicates and the fan-out of duplicate vec_id rows
         .distinct()

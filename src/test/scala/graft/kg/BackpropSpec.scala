@@ -160,6 +160,33 @@ class BackpropSpec extends AnyFunSuite {
     }
   }
 
+  test("stacked/concat truncation: >= T bit-identical to full; k < T alters only time-flowing grads") {
+    val seq = Array(1, 5, 9, 3, 2, 7, 0, 11, 4, 2, 6, 8)
+    val sl = BackpropStack.Layout(vocab = 12, embDim = 4, h1 = 5, h2 = 5, relSize = 4)
+    val sf = BackpropStack.init(sl, seed = 3L)
+    val full = new Array[Double](sl.total)
+    val cap = new Array[Double](sl.total)
+    val tr = new Array[Double](sl.total)
+    BackpropStack.accumulate(sf, sl, 0.5, seq, 1, mask, full)
+    BackpropStack.accumulate(sf, sl, 0.5, seq, 1, mask, cap, truncate = 50)
+    BackpropStack.accumulate(sf, sl, 0.5, seq, 1, mask, tr, truncate = 4)
+    assert(full.toSeq === cap.toSeq)
+    assert((0 until sl.dense).exists(j => tr(j) != full(j)), "stack k < T must truncate")
+    (sl.dense until sl.total).foreach(j => assert(tr(j) === full(j)))
+    val cl = BackpropConcat.Layout(Array(12, 6, 7, 8), 4, 5, 5, 4)
+    val cf = BackpropConcat.init(cl, seed = 3L)
+    val chans = Array(seq, seq.map(_ % 6), seq.map(_ % 7), seq.map(_ % 8))
+    val cFull = new Array[Double](cl.total)
+    val cCap = new Array[Double](cl.total)
+    val cTr = new Array[Double](cl.total)
+    BackpropConcat.accumulate(cf, cl, 0.5, chans, 1, mask, cFull)
+    BackpropConcat.accumulate(cf, cl, 0.5, chans, 1, mask, cCap, truncate = 50)
+    BackpropConcat.accumulate(cf, cl, 0.5, chans, 1, mask, cTr, truncate = 4)
+    assert(cFull.toSeq === cCap.toSeq)
+    assert((0 until cl.dense).exists(j => cTr(j) != cFull(j)), "concat k < T must truncate")
+    (cl.dense until cl.total).foreach(j => assert(cTr(j) === cFull(j)))
+  }
+
   test("GRU BPTT gradient matches central finite differences everywhere") {
     val layout = BackpropGru.Layout(vocab = 12, embDim = 4, hidden = 5, relSize = 4)
     val flat = BackpropGru.init(layout, seed = 3L)

@@ -395,6 +395,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       "in-kernel BigDecimal rounding must equal Spark's round() bit-exactly")
   }
 
+  test("ANN paths agree on zero vectors: NaN cosine pairs are dropped by BOTH") {
+    // two identical vectors (cosine 1) plus a zero vector whose cosine is
+    // NaN against everything — the pair sets must match across paths and
+    // contain no zero-vector pair (Spark SQL would otherwise keep NaN
+    // through a bare >= filter; the kernel never emits it)
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val rows = Seq((1L, v, 0), (2L, v, 0), (3L, Array.fill(8)(0f), 0))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    def run(limit: Long) = graft.ops.Similarity
+      .annCandidatePairs(e, 0.3, vectorBroadcastLimit = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val broadcastPairs = run(1000000L)
+    val joinPairs = run(0L)
+    assert(broadcastPairs === joinPairs)
+    assert(broadcastPairs === Set((1L, 2L)), s"got $broadcastPairs")
+  }
+
   test("winnow pairs: stop-fingerprint df cap drops whole mega-buckets, keeps small ones") {
     // 8 docs all sharing one long boilerplate substring (>= w+k-1 chars,
     // so they share its winnow fingerprints); docs 1 and 2 additionally

@@ -28,6 +28,38 @@ import org.apache.spark.sql.SparkSession
  * loaded weights and are recorded, not rebuilt).
  */
 object PipelineMain {
+
+  /** The --options resolution (testable core of the CLI surface): merge
+    * overrides over the experiment's (or default) config, apply the LIVE
+    * knobs — scope (featurization window) and dropout (inference scale) —
+    * to the bundle, and reject structural overrides (emb_dim / hidden /
+    * rel_size) that contradict the loaded weight tensors. Returns the
+    * bundle to run with and the EFFECTIVE config to persist. */
+  private[kg] def resolveConfig(bundle0: Option[Pipeline.ScoringBundle],
+      experiment: String, options: String): (Option[Pipeline.ScoringBundle], Map[String, String]) = {
+    val defaultBundle = bundle0.getOrElse(Pipeline.buildBundle())
+    val baseConfig =
+      if (experiment.nonEmpty) Experiments.readConfig(experiment)
+      else Map(
+        "emb_dim" -> defaultBundle.weights.embDim.toString,
+        "hidden" -> defaultBundle.weights.hidden.toString,
+        "rel_size" -> defaultBundle.weights.relSize.toString,
+        "dropout" -> defaultBundle.weights.dropout.toString,
+        "scope" -> defaultBundle.scope.toString)
+    val effective = Experiments.applyOverrides(baseConfig, options)
+    Seq("emb_dim", "hidden", "rel_size").foreach { k =>
+      if (baseConfig.contains(k) && effective(k) != baseConfig(k))
+        throw new IllegalArgumentException(
+          s"--options $k:${effective(k)} contradicts the loaded weight tensors " +
+            s"($k=${baseConfig(k)}); structural dims come from the weights, not the config")
+    }
+    var b = defaultBundle
+    if (effective("scope") != baseConfig("scope")) b = b.copy(scope = effective("scope").toInt)
+    if (baseConfig.contains("dropout") && effective("dropout") != baseConfig("dropout"))
+      b = b.copy(weights = b.weights.copy(dropout = effective("dropout").toFloat))
+    (if (b eq defaultBundle) bundle0 else Some(b), effective)
+  }
+
   def main(args: Array[String]): Unit = {
     var out = ""
     var pages = 10000L
@@ -86,27 +118,7 @@ object PipelineMain {
     // the loaded weight tensors (silently recording them would produce a
     // config.json that lies about the run), and persist the effective
     // config next to the graph tables
-    val defaultBundle = bundle0.getOrElse(Pipeline.buildBundle())
-    val baseConfig =
-      if (experiment.nonEmpty) Experiments.readConfig(experiment)
-      else Map(
-        "emb_dim" -> defaultBundle.weights.embDim.toString,
-        "hidden" -> defaultBundle.weights.hidden.toString,
-        "rel_size" -> defaultBundle.weights.relSize.toString,
-        "dropout" -> defaultBundle.weights.dropout.toString,
-        "scope" -> defaultBundle.scope.toString)
-    val effective = Experiments.applyOverrides(baseConfig, options)
-    Seq("emb_dim", "hidden", "rel_size").foreach { k =>
-      if (baseConfig.contains(k) && effective(k) != baseConfig(k))
-        throw new IllegalArgumentException(
-          s"--options $k:${effective(k)} contradicts the loaded weight tensors " +
-            s"($k=${baseConfig(k)}); structural dims come from the weights, not the config")
-    }
-    var b = defaultBundle
-    if (effective("scope") != baseConfig("scope")) b = b.copy(scope = effective("scope").toInt)
-    if (baseConfig.contains("dropout") && effective("dropout") != baseConfig("dropout"))
-      b = b.copy(weights = b.weights.copy(dropout = effective("dropout").toFloat))
-    val bundle = if (b eq defaultBundle) bundle0 else Some(b)
+    val (bundle, effective) = PipelineMain.resolveConfig(bundle0, experiment, options)
     val report = Pipeline.runCheckpointed(spark, corpus, out, buckets = buckets,
       salted = salted, bundle = bundle)
     Experiments.writeConfig(out, effective)

@@ -133,6 +133,27 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(back - "scope" - "dropout" === cfg0 - "scope" - "dropout")
   }
 
+  test("resolveConfig: live knobs applied, structural overrides rejected, no-op passthrough") {
+    // no options, no experiment: bundle0 passes through untouched
+    val (b0, cfg0) = PipelineMain.resolveConfig(None, "", "")
+    assert(b0.isEmpty)
+    assert(cfg0.keySet === Set("emb_dim", "hidden", "rel_size", "dropout", "scope"))
+    // live knobs actually land on the bundle
+    val (b1, cfg1) = PipelineMain.resolveConfig(None, "", "scope:3,dropout:0.25")
+    assert(b1.get.scope === 3)
+    assert(b1.get.weights.dropout === 0.25f)
+    assert(cfg1("scope") === "3" && cfg1("dropout") === "0.25")
+    // structural overrides that contradict the loaded tensors are errors,
+    // not silently-recorded lies
+    intercept[IllegalArgumentException](PipelineMain.resolveConfig(None, "", "emb_dim:999"))
+    intercept[IllegalArgumentException](PipelineMain.resolveConfig(None, "", "hidden:7"))
+    // ...but restating the TRUE value is fine (no-op)
+    val base = Pipeline.buildBundle()
+    val (b2, _) = PipelineMain.resolveConfig(Some(base), "",
+      s"emb_dim:${base.weights.embDim}")
+    assert(b2.get eq base)
+  }
+
   test("Senna reader: order-preserving word↔row mapping, UNK id 0, last-wins dupes") {
     val dir = Files.createTempDirectory("graft-senna").toString
     Files.write(java.nio.file.Paths.get(s"$dir/words.lst"),

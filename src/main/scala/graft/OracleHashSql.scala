@@ -19,6 +19,11 @@ package graft
  * Verified bit-identical to the Spark kernels at sf0.001/0.01/0.1 (the
  * driver's hash compare is the regression gate). Testdata text is pure
  * ASCII, so `ascii(substr(...))` reads the UTF-8 bytes Spark hashes.
+ *
+ * XXH64 is Yann Collet's public xxHash algorithm (BSD, github.com/
+ * Cyan4973/xxHash); the port replicates Spark's XxHash64 expression
+ * semantics (seed 42, per-column chaining, int/long specializations),
+ * validated against a 101-case ground-truth dump from Spark itself.
  */
 private[graft] object OracleHashSql {
 

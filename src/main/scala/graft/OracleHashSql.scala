@@ -93,9 +93,49 @@ private[graft] object OracleHashSql {
    * `xxhash64_int(i, 42)` and its `+ P5 + 8` init are precomputed here,
    * and the rotl31(h·P2)·P1 term is shared across all 8 slots.
    */
+  /** The XXH64 short-string CTE chain: given `from` exposing columns
+    * (`keep`..., sh, seed0) — seed0 = (seed + P5) % 2^64 as HUGEINT, null
+    * sh permitted (nulls the hash) — appends CTEs ending in `<p>hu` with
+    * (`keep`..., h) where h is the finished unsigned XXH64 of sh's ASCII
+    * bytes under that seed. `p` prefixes every CTE name so multiple
+    * chains compose in one statement. */
+  private def xxStrChain(c: scala.collection.mutable.ArrayBuffer[String],
+      p: String, from: String, keep: String): String = {
+    val carry = s"$keep, sh, n, db"
+    c += s"""${p}s0 AS (SELECT $keep, sh,
+      CAST(length(sh) AS HUGEINT) AS n,
+      CAST(length(sh) // 8 * 8 + (CASE WHEN length(sh) % 8 >= 4 THEN 4 ELSE 0 END) AS INT) AS db,
+      (seed0 + CAST(length(sh) AS HUGEINT)) % $M AS h FROM $from)"""
+    var prev = s"${p}s0"
+    for ((off, j) <- Seq(1, 9, 17).zipWithIndex) {
+      val thr = 8 * (j + 1)
+      c += s"${p}w${j}a AS (SELECT $carry, h, CASE WHEN n >= $thr THEN ${uNle("sh", off.toString, 8)} ELSE 0::HUGEINT END AS ck FROM $prev)"
+      c += s"${p}w${j}b AS (SELECT $carry, h, ${mulC("ck", P2)} AS ck FROM ${p}w${j}a)"
+      c += s"${p}w${j}c AS (SELECT $carry, h, ${mulC(rotl("ck", 31), P1)} AS ck FROM ${p}w${j}b)"
+      c += s"${p}w${j}d AS (SELECT $carry, h, ${xorU("h", "ck")} AS hx FROM ${p}w${j}c)"
+      c += s"${p}w${j}e AS (SELECT $carry, CASE WHEN n >= $thr THEN (${mulC(rotl("hx", 27), P1)} + $P4::HUGEINT) % $M ELSE h END AS h FROM ${p}w${j}d)"
+      prev = s"${p}w${j}e"
+    }
+    c += s"${p}f4a AS (SELECT $carry, h, CASE WHEN n % 8 >= 4 THEN ${uNle("sh", "CAST(n // 8 * 8 AS INT) + 1", 4)} ELSE 0::HUGEINT END AS ck FROM $prev)"
+    c += s"${p}f4b AS (SELECT $carry, h, ${xorU("h", mulC("ck", P1))} AS hx FROM ${p}f4a)"
+    c += s"${p}f4c AS (SELECT $carry, CASE WHEN n % 8 >= 4 THEN (${mulC(rotl("hx", 23), P2)} + $P3::HUGEINT) % $M ELSE h END AS h FROM ${p}f4b)"
+    prev = s"${p}f4c"
+    for (j <- 0 until 3) {
+      c += s"${p}y${j}a AS (SELECT $carry, h, CASE WHEN n - db >= ${j + 1} THEN CAST(ascii(substr(sh, db + $j + 1, 1)) AS HUGEINT) ELSE 0::HUGEINT END AS ck FROM $prev)"
+      c += s"${p}y${j}b AS (SELECT $carry, h, ${xorU("h", mulC("ck", P5))} AS hx FROM ${p}y${j}a)"
+      c += s"${p}y${j}c AS (SELECT $carry, CASE WHEN n - db >= ${j + 1} THEN ${mulC(rotl("hx", 11), P1)} ELSE h END AS h FROM ${p}y${j}b)"
+      prev = s"${p}y${j}c"
+    }
+    c += s"${p}m0 AS (SELECT $keep, sh, ${xorU("h", shr("h", 33))} AS h FROM $prev)"
+    c += s"${p}m1 AS (SELECT $keep, sh, ${mulC("h", P2)} AS h FROM ${p}m0)"
+    c += s"${p}m2 AS (SELECT $keep, sh, ${xorU("h", shr("h", 29))} AS h FROM ${p}m1)"
+    c += s"${p}m3 AS (SELECT $keep, sh, ${mulC("h", P3)} AS h FROM ${p}m2)"
+    c += s"${p}hu AS (SELECT $keep, sh, ${xorU("h", shr("h", 32))} AS h FROM ${p}m3)"
+    s"${p}hu"
+  }
+
   def minhash64Oracle(k: Int = 8): String = {
     val slotInit = (1 to k).map(i => (pXxInt(i, BigInt(42)) + P5 + 8) % MM)
-    val carry = "doc_id, sh, n, db"
     val c = scala.collection.mutable.ArrayBuffer.empty[String]
     c += "d2 AS (SELECT doc_id, string_split(text, ' ') AS t2 FROM documents)"
     c += "ix AS (SELECT doc_id, t2, UNNEST(generate_series(1, len(t2) - 2)) AS i FROM d2)"
@@ -104,36 +144,9 @@ private[graft] object OracleHashSql {
     // its hash out of the MIN, perturbing that doc's slot minima vs the
     // Spark side and failing the driver's hash compare
     c += ("shs AS (SELECT doc_id, CASE WHEN length(t2[i]) + length(t2[i+1]) + length(t2[i+2]) + 2 < 32 " +
-      "THEN t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] ELSE NULL END AS sh FROM ix)")
-    c += s"""s0 AS (SELECT doc_id, sh,
-      CAST(length(sh) AS HUGEINT) AS n,
-      CAST(length(sh) // 8 * 8 + (CASE WHEN length(sh) % 8 >= 4 THEN 4 ELSE 0 END) AS INT) AS db,
-      (${(BigInt(42) + P5) % MM}::HUGEINT + CAST(length(sh) AS HUGEINT)) % $M AS h FROM shs)"""
-    var prev = "s0"
-    for ((off, j) <- Seq(1, 9, 17).zipWithIndex) {
-      val thr = 8 * (j + 1)
-      c += s"w${j}a AS (SELECT $carry, h, CASE WHEN n >= $thr THEN ${uNle("sh", off.toString, 8)} ELSE 0::HUGEINT END AS ck FROM $prev)"
-      c += s"w${j}b AS (SELECT $carry, h, ${mulC("ck", P2)} AS ck FROM w${j}a)"
-      c += s"w${j}c AS (SELECT $carry, h, ${mulC(rotl("ck", 31), P1)} AS ck FROM w${j}b)"
-      c += s"w${j}d AS (SELECT $carry, h, ${xorU("h", "ck")} AS hx FROM w${j}c)"
-      c += s"w${j}e AS (SELECT $carry, CASE WHEN n >= $thr THEN (${mulC(rotl("hx", 27), P1)} + $P4::HUGEINT) % $M ELSE h END AS h FROM w${j}d)"
-      prev = s"w${j}e"
-    }
-    c += s"f4a AS (SELECT $carry, h, CASE WHEN n % 8 >= 4 THEN ${uNle("sh", "CAST(n // 8 * 8 AS INT) + 1", 4)} ELSE 0::HUGEINT END AS ck FROM $prev)"
-    c += s"f4b AS (SELECT $carry, h, ${xorU("h", mulC("ck", P1))} AS hx FROM f4a)"
-    c += s"f4c AS (SELECT $carry, CASE WHEN n % 8 >= 4 THEN (${mulC(rotl("hx", 23), P2)} + $P3::HUGEINT) % $M ELSE h END AS h FROM f4b)"
-    prev = "f4c"
-    for (j <- 0 until 3) {
-      c += s"y${j}a AS (SELECT $carry, h, CASE WHEN n - db >= ${j + 1} THEN CAST(ascii(substr(sh, db + $j + 1, 1)) AS HUGEINT) ELSE 0::HUGEINT END AS ck FROM $prev)"
-      c += s"y${j}b AS (SELECT $carry, h, ${xorU("h", mulC("ck", P5))} AS hx FROM y${j}a)"
-      c += s"y${j}c AS (SELECT $carry, CASE WHEN n - db >= ${j + 1} THEN ${mulC(rotl("hx", 11), P1)} ELSE h END AS h FROM y${j}b)"
-      prev = s"y${j}c"
-    }
-    c += s"m0 AS (SELECT doc_id, ${xorU("h", shr("h", 33))} AS h FROM $prev)"
-    c += s"m1 AS (SELECT doc_id, ${mulC("h", P2)} AS h FROM m0)"
-    c += s"m2 AS (SELECT doc_id, ${xorU("h", shr("h", 29))} AS h FROM m1)"
-    c += s"m3 AS (SELECT doc_id, ${mulC("h", P3)} AS h FROM m2)"
-    c += s"hu AS (SELECT doc_id, ${xorU("h", shr("h", 32))} AS h FROM m3)"
+      "THEN t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] ELSE NULL END AS sh, " +
+      s"${(BigInt(42) + P5) % MM}::HUGEINT AS seed0 FROM ix)")
+    val hu = xxStrChain(c, "", "shs", "doc_id")
     c += s"k0 AS (SELECT doc_id, ${mulC("h", P2)} AS k FROM hu)"
     c += s"k1 AS (SELECT doc_id, ${mulC(rotl("k", 31), P1)} AS k FROM k0)"
     c += s"t1 AS (SELECT doc_id, ${(1 to k).map(i => s"(${xorU(s"${slotInit(i - 1)}::HUGEINT", "k")}) AS x$i").mkString(", ")} FROM k1)"
@@ -195,5 +208,48 @@ private[graft] object OracleHashSql {
        FROM banded a JOIN banded b
          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        WHERE bit_count(xor(${toS("a.simu")}, ${toS("b.simu")})) <= $maxHamming"""
+  }
+
+  /**
+   * Oracle for `q_bloom_decontaminate` — `Dedup.decontaminateBloom`
+   * (n-gram shingles, m-bit filter, k chained `xxhash64(i, shingle)`
+   * positions). The filter is the DISTINCT position set of the benchmark
+   * shingles; a document is flagged when any of its shingles finds ALL k
+   * positions present (COUNT(DISTINCT seed-index) = k after the position
+   * join — duplicate positions from colliding seeds must not double
+   * count). Bit positions replicate Spark's signed pmod. Both shingle
+   * streams run ONE seed-parameterized XXH64 chain each, cross-joined
+   * with the k precomputed slot seeds.
+   */
+  def bloomDecontaminateOracle(n: Int = 3, mBits: Long = 1L << 20,
+      kHashes: Int = 3, benchMod: Int = 97): String = {
+    // seed0 per slot = (xxhash64_int(i, 42) + P5) % 2^64 — the string-hash
+    // chain init for Spark's two-column xxhash64(i, shingle)
+    val seeds = (1 to kHashes)
+      .map(i => s"(${i}, ${(pXxInt(i, BigInt(42)) + P5) % MM}::HUGEINT)")
+      .mkString(", ")
+    val shingleExpr = (0 until n).map(j => s"t2[i+$j]").mkString(" || ' ' || ")
+    val lenGuard = (0 until n).map(j => s"length(t2[i+$j])").mkString(" + ") + s" + ${n - 1} < 32"
+    val pos = s"(((${toS("h")} % $mBits) + $mBits) % $mBits)"
+    val c = scala.collection.mutable.ArrayBuffer.empty[String]
+    c += s"seeds(si, seed0) AS (VALUES $seeds)"
+    c += "d2 AS (SELECT doc_id, string_split(text, ' ') AS t2 FROM documents)"
+    c += s"ix AS (SELECT doc_id, t2, UNNEST(generate_series(1, len(t2) - ${n - 1})) AS i FROM d2)"
+    c += s"allsh AS (SELECT doc_id, CASE WHEN $lenGuard THEN $shingleExpr ELSE NULL END AS sh FROM ix)"
+    // benchmark side: every benchMod-th doc, shingle MULTISET is fine
+    // (positions distinct at the end)
+    c += s"bsh AS (SELECT s.si, s.seed0, a.sh FROM allsh a CROSS JOIN seeds s WHERE a.doc_id % $benchMod = 0)"
+    val bhu = xxStrChain(c, "b", "bsh", "si, seed0")
+    c += s"bpos AS (SELECT DISTINCT $pos AS pos FROM $bhu)"
+    // corpus side: distinct (doc, shingle) — "any shingle fully present"
+    // is set-level
+    c += s"dsh AS (SELECT s.si, s.seed0, d.doc_id, d.sh FROM (SELECT DISTINCT doc_id, sh FROM allsh) d CROSS JOIN seeds s)"
+    val dhu = xxStrChain(c, "d", "dsh", "si, doc_id")
+    c += s"dpos AS (SELECT doc_id, sh, si, $pos AS pos FROM $dhu)"
+    c += s"""hits AS (SELECT dpos.doc_id FROM dpos JOIN bpos USING (pos)
+         GROUP BY dpos.doc_id, dpos.sh HAVING COUNT(DISTINCT dpos.si) = $kHashes)"""
+    c += "flagged AS (SELECT DISTINCT doc_id FROM hits)"
+    "WITH " + c.mkString(",\n") +
+      "\nSELECT doc_id, lang, source FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged)"
   }
 }

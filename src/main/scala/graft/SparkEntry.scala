@@ -528,6 +528,14 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Dedup.decontaminate(d, d.filter(col("doc_id") % 97 === 0), n = 5)
     }),
+    // Bloom-filter decontamination: same hygiene pass in the regime where
+    // the benchmark shingle set is too big to broadcast exactly — an
+    // m-bit filter stands in, with false positives only (spurious drops)
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.decontaminateBloom(d, d.filter(col("doc_id") % 97 === 0),
+        n = 3, mBits = 1L << 20, kHashes = 3)
+    }),
     // Gopher-style repetition quality gates (distinct ratio, top-token and
     // top-2gram fractions)
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"))),
@@ -1322,6 +1330,7 @@ object SparkEntry {
     // in DuckDB with HUGEINT mod-2^64 arithmetic — see OracleHashSql)
     "q_minhash_sig64" -> OracleHashSql.minhash64Oracle(),
     "q_simhash_pairs" -> OracleHashSql.simhashPairsOracle(),
+    "q_bloom_decontaminate" -> OracleHashSql.bloomDecontaminateOracle(),
 
     // ---- winnowing: EXACT oracles (Rabin-Karp polynomial recomputed in
     // HUGEINT mod-2^64 arithmetic — bit-parity with the Scala Long wrap)

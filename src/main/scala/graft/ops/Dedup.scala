@@ -399,6 +399,53 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /**
+   * BLOOM-FILTER decontamination — the regime [[decontaminate]]'s exact
+   * broadcast cannot reach: when the benchmark/eval shingle SET is too
+   * large to broadcast, an m-bit Bloom filter (m/8 bytes, independent of
+   * benchmark cardinality) stands in. A document is dropped when ANY of
+   * its n-gram shingles has all `kHashes` filter bits set — false
+   * positives cause spurious drops at the classic Bloom rate
+   * ((1−e^(−kn/m))^k), the safe direction for decontamination hygiene;
+   * false negatives cannot happen, so nothing contaminated survives that
+   * exact matching would have caught.
+   *
+   * Scale shape: the filter builds from ONE pass over the benchmark
+   * (bit positions via the codegen'd `xxhash64(i, shingle)` chain,
+   * distinct over ≤ m positions), collects to an m/64-long word array
+   * and BROADCASTS; the corpus-side probe is a narrow mapPartitions bit
+   * test — the corpus is never shuffled, exactly like the exact variant.
+   * Bit positions use Spark's signed `pmod`, mirrored by the oracle.
+   */
+  def decontaminateBloom(documents: DataFrame, benchmark: DataFrame, n: Int = 3,
+      mBits: Long = 1L << 20, kHashes: Int = 3): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def positions(c: Column): Column =
+      array((1 to kHashes).map(i => pmod(xxhash64(lit(i), c), lit(mBits))): _*)
+    val words = new Array[Long]((mBits / 64).toInt)
+    benchmark
+      .select(explode(shingles(col("text"), n)).as("item"))
+      .select(explode(positions(col("item"))).as("pos")).distinct()
+      .collect()
+      .foreach { r => val p = r.getLong(0); words((p >>> 6).toInt) |= (1L << (p & 63)) }
+    val bc = spark.sparkContext.broadcast(words)
+    val flagged = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("item"))
+      .select(col("doc_id"), positions(col("item")).as("ps"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val w = bc.value
+        it.filter { case (_, ps) =>
+          ps.forall(p => (w((p >>> 6).toInt) & (1L << (p & 63))) != 0)
+        }.map(_._1)
+      }
+      .toDF("doc_id").distinct()
+    documents.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** N-gram (3-shingle-set) Jaccard similarity for candidate pairs within
     * the same lang, restricted to doc_id < cap (the quadratic demo is
     * bounded; the scale path is LSH above). */

@@ -166,6 +166,32 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(saltCount >= 6, s"hot key must spread over most salt buckets, got $saltCount")
   }
 
+  test("decontaminateBloom: superset of exact drops, clean docs survive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "web"),
+      (2L, "unrelated prefix alpha beta gamma suffix tokens here", "en", "web"), // shares a 3-gram with 1
+      (3L, "completely different token stream with nothing shared", "en", "web"),
+      (4L, "another clean document of fresh words entirely disjoint", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val bench = docs.filter(col("doc_id") === 1L)
+    val bloom = graft.ops.Dedup.decontaminateBloom(docs, bench, n = 3,
+      mBits = 1L << 20, kHashes = 3).collect().map(_.getLong(0)).toSet
+    // no false negatives: everything the EXACT n-gram pass drops, the
+    // Bloom pass drops too (Bloom survivors are a subset of exact ones)
+    val exact = graft.ops.Dedup.decontaminate(docs, bench, n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom.subsetOf(exact), s"bloom=$bloom exact=$exact")
+    assert(!bloom.contains(1L) && !bloom.contains(2L), "true contamination must drop")
+    // at m = 2^20 with a handful of shingles the FP probability is ~0:
+    // the clean docs survive
+    assert(bloom === Set(3L, 4L))
+    // a tiny filter saturates: every doc drops (all-FP regime, the safe
+    // direction), never the reverse
+    val tiny = graft.ops.Dedup.decontaminateBloom(docs, bench, n = 3,
+      mBits = 64, kHashes = 3).collect().map(_.getLong(0)).toSet
+    assert(tiny.subsetOf(bloom))
+  }
+
   test("redactPii: emails first, phone runs second, counts and digest exact") {
     val docs = Seq(
       (1L, "mail a1.b-c%d@ex-ample.co.uk now and call +1 555-123 4567 ok", "en"),

@@ -122,7 +122,12 @@ object SparkEntry {
         .select(col("id"), col("sentence"), col("subject"), col("subjectNer"),
           col("obj"), col("objectNer"), col("relation"), col("predicted"),
           col("pathLen").cast("long").as("pathLen"),
-          col("pathWords"), col("pathArcs"), col("pathNers"))
+          // the driver's pandas canonicalizer sorts every column and cannot
+          // hash array cells — flatten the path arrays to '|'-joined strings
+          // for the battery (the typed API in Evaluate keeps the arrays)
+          array_join(col("pathWords"), "|").as("pathWords"),
+          array_join(col("pathArcs"), "|").as("pathArcs"),
+          array_join(col("pathNers"), "|").as("pathNers"))
     }),
 
     // pred.py-style evaluation: per-relation P/R report over a labeled
@@ -519,8 +524,16 @@ object SparkEntry {
         .unionByName(pairs.select(col("b").as("node"))).distinct()
       Dedup.connectedComponentsStar(pairs, nodes)
     }),
-    "q_ngram_jaccard" -> ((s, dir) =>
+    // exact-Jaccard DEMO, cap named in the query (doc_id < 200 bound on
+    // the quadratic all-pairs stage); the scale path is _lsh below
+    "q_ngram_jaccard_demo" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), cap = 200)),
+    // the corpus-scale form: LSH banding over the shared signature table
+    // generates candidates, exact shingle-hash-set Jaccard verifies them —
+    // no quadratic stage, no cap
+    "q_ngram_jaccard_lsh" -> ((s, dir) =>
+      Dedup.ngramJaccardForPairs(t(s, dir, "documents"),
+        Dedup.lshCandidatePairsFromSigs(SigCache.sigs(s, dir)))),
     // benchmark decontamination: every 97th doc plays the eval set; docs
     // sharing any 5-gram with it (the set itself + its near-verbatim dups)
     // are dropped before training
@@ -670,15 +683,17 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("scale"),
           col("out_w").cast("long").as("out_w"),
           col("out_h").cast("long").as("out_h"))),
-    // per-frame fake-embedding extraction: the multimodal → vector bridge
-    // into the ANN operators (real container parse, stubbed vector math)
+    // per-frame CONTENT-DERIVED feature extraction: the multimodal → vector
+    // bridge into the ANN operators — every vector component comes from the
+    // parsed dims + the frame's decoded payload bytes, so the oracle
+    // recomputes the full 16-dim vector from the documents table
     "q_media_features" -> ((s, dir) => {
-      val meta = Multimodal.extractMeta(s, Multimodal.mediaTableSynth(t(s, dir, "documents")))
-      Multimodal.frameFeatures(s, Multimodal.sampleFrames(meta), meta)
-        .select(col("doc_id"), col("frame_idx"),
-          round(element_at(col("embedding").cast("array<double>"), 1), 6).as("e0"),
-          round(aggregate(col("embedding").cast("array<double>"), lit(0.0),
-            (acc, x) => acc + x), 6).as("e_sum"))
+      val media = Multimodal.mediaTableSynth(t(s, dir, "documents"))
+      val meta = Multimodal.extractMeta(s, media)
+      Multimodal.frameFeatures(s, Multimodal.sampleFrames(meta), media)
+        .select(Seq(col("doc_id"), col("frame_idx").cast("long").as("frame_idx")) ++
+          (0 until 16).map(i =>
+            element_at(col("embedding"), i + 1).cast("long").as(s"e$i")): _*)
     }),
 
     // ---- streaming --------------------------------------------------------------------
@@ -782,6 +797,60 @@ object SparkEntry {
          WHERE b.bucket IN (qb.qbucket, xor(qb.qbucket, 1), xor(qb.qbucket, 2),
                             xor(qb.qbucket, 4), xor(qb.qbucket, 8))
          ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"""
+
+  /** `q_ann_ivf` / `q_ann_ivf_index` share one oracle (the index path only
+    * adds partition pruning — pinned equal in ScaleOpsSpec), and the oracle
+    * recomputes the ENTIRE IVF family in SQL — Lloyd centroids included:
+    *
+    *  - the Spark accumulator is exact fixed-point (`Similarity
+    *    .CentroidScale` = 2^20: `floor(v·2^20 + 0.5)` summed as Longs), so
+    *    DuckDB's HUGEINT sums land on the identical integers regardless of
+    *    either engine's aggregation order, and
+    *    `centroid_d = sum / (count·2^20)` is one double division — bit-equal
+    *    both sides;
+    *  - assignments/probes compare L2 distances (`list_distance` here, the
+    *    sequential loop there): ulp reassociation can only flip an argmin on
+    *    an exact tie, which the random corpus does not produce;
+    *  - the final cosine is the established `list_dot_product` bridge.
+    *
+    * The 5 Lloyd iterations are unrolled as chained CTEs (a{i} = assignment
+    * under c{i-1}, s{i} = per-(list, dim) exact sums, c{i} = new centroid
+    * list with empty lists keeping their previous centroid). */
+  private def ivfOracle(nlist: Int = 8, iters: Int = 5, k: Int = 10,
+      nprobe: Int = 2): String = {
+    val scale = graft.ops.Similarity.CentroidScale
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, v, list FROM (
+           SELECT e.vec_id, e.v, c.list,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v, c.cent) ASC, c.list ASC) AS rn
+           FROM e CROSS JOIN $cents c) WHERE rn = 1)"""
+    val steps = (1 to iters).map { i =>
+      s"""${assign(s"a$i", s"c${i - 1}")},
+         s$i AS (SELECT a.list, dims.d,
+             CAST(SUM(CAST(floor(a.v[dims.d] * $scale.0 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+             COUNT(*) AS n
+           FROM a$i a CROSS JOIN dims GROUP BY a.list, dims.d),
+         c$i AS (SELECT p.list, COALESCE(nc.cent, p.cent) AS cent
+           FROM c${i - 1} p LEFT JOIN (
+             SELECT list, list(CAST(sv AS DOUBLE) / CAST(n * $scale AS DOUBLE) ORDER BY d) AS cent
+             FROM s$i GROUP BY list) nc ON p.list = nc.list)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id <> 0),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         dims AS (SELECT UNNEST(generate_series(1, $EmbeddingDim)) AS d),
+         c0 AS (SELECT rn - 1 AS list, v AS cent FROM (
+             SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn FROM e) WHERE rn <= $nlist),
+         $steps,
+         probe AS (SELECT c.list FROM c$iters c CROSS JOIN q
+           ORDER BY list_distance(c.cent, q.qe) ASC, c.list ASC LIMIT $nprobe),
+         ${assign("afinal", s"c$iters")}
+         SELECT a.vec_id, ${cosineSql("a.v", "q.qe")} AS cosine
+         FROM afinal a CROSS JOIN q
+         WHERE a.list IN (SELECT list FROM probe)
+         ORDER BY cosine DESC, a.vec_id ASC LIMIT $k"""
+  }
 
   /** The Rabin-Karp k-gram hash of `winnow` as a DuckDB expression over
     * 1-based position `i`: h = ((c_0·B + c_1)·B + c_2)… with B = 1e9+7,
@@ -1042,7 +1111,7 @@ object SparkEntry {
          SELECT node, CAST(MIN(root) AS BIGINT) AS cluster
          FROM reach GROUP BY node""",
 
-    "q_ngram_jaccard" ->
+    "q_ngram_jaccard_demo" ->
       """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS t
                        FROM documents WHERE doc_id < 200),
          ix AS (SELECT doc_id, lang, t, UNNEST(generate_series(1, len(t) - 2)) AS i FROM docs),
@@ -1052,6 +1121,27 @@ object SparkEntry {
          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
                    FROM tok a JOIN tok b ON a.lang = b.lang AND a.token = b.token
                    AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b,
+           CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) AS jaccard
+         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id""",
+
+    // scale form: LSH-banded candidates (same (h1,h2) band key as
+    // q_lsh_pairs) + exact md5-shingle-set Jaccard verify — no id cap
+    "q_ngram_jaccard_lsh" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i FROM d),
+         sh AS (SELECT doc_id, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS mh FROM ix),
+         sig AS (SELECT doc_id, MIN(substr(mh, 1, 8)) AS h1, MIN(substr(mh, 9, 8)) AS h2
+                 FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sig a JOIN sig b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
+         tok AS (SELECT DISTINCT doc_id, mh FROM sh),
+         sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM tok GROUP BY doc_id),
+         inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_size
+                   FROM pairs p
+                   JOIN tok a ON a.doc_id = p.doc_a
+                   JOIN tok b ON b.doc_id = p.doc_b AND b.mh = a.mh
+                   GROUP BY p.doc_a, p.doc_b)
          SELECT doc_a, doc_b,
            CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) AS jaccard
          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id""",
@@ -1299,6 +1389,32 @@ object SparkEntry {
            CAST(FLOOR(h * sc) AS BIGINT) AS out_h
          FROM s""",
 
+    // the full 16-dim frame vector recomputed from content: dims from the
+    // synthDims formulas, frame bytes per format (PNG IDAT = content head
+    // padded with 0x5A=90; GIF frame f's sub-block = [f]; JPEG SOF payload
+    // = [precision, h_hi, h_lo, w_hi, w_lo, 1, 1, 0x11, 0]), zero-padded
+    "q_media_features" ->
+      s"""WITH nb AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         m AS (SELECT doc_id, text, n, n % 3 AS fmt,
+             16 + n % 240 AS w, 16 + (n * 7) % 180 AS h,
+             CASE WHEN n % 3 = 1 THEN 1 + n % 40 ELSE 1 END AS n_frames FROM nb),
+         fr AS (SELECT doc_id, text, n, fmt, w, h,
+             UNNEST(generate_series(0, n_frames - 1, 10)) AS frame_idx FROM m),
+         fb AS (SELECT doc_id, frame_idx, w, h,
+             CASE fmt
+               WHEN 0 THEN list_transform(range(1, 9), i ->
+                 CAST(CASE WHEN i <= n THEN unicode(substr(text, CAST(i AS INT), 1))
+                      ELSE 90 END AS BIGINT))
+               WHEN 1 THEN [CAST(frame_idx AS BIGINT)]
+               ELSE [CAST(8 AS BIGINT), h // 256, h % 256, w // 256, w % 256, 1, 1, 17, 0]
+             END AS b
+           FROM fr)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS e0, CAST(h AS BIGINT) AS e1,
+           ${(1 to 14).map(i => s"CAST(COALESCE(b[$i], 0) AS BIGINT) AS e${i + 1}")
+             .mkString(",\n           ")}
+         FROM fb""",
+
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -1341,12 +1457,16 @@ object SparkEntry {
          SELECT n_docs, COUNT(*) AS n_fingerprints
          FROM cl WHERE n_docs > 1 GROUP BY n_docs""",
 
-    // stop-fingerprint rule mirrored exactly: fingerprints shared by more
-    // than maxDf=50 docs are boilerplate and contribute no pairs
+    // stop-fingerprint rule mirrored exactly, INCLUDING the corpus-sized
+    // cap: maxDf = clamp(ceil(1% of docs), 50, 100000) — the same
+    // TextAnalysis.maxDfForCorpus formula, recomputed here from COUNT(*)
     "q_winnow_pairs" ->
       s"""$winnowFpCte,
+         cap AS (SELECT LEAST(100000, GREATEST(50,
+                   CAST(CEIL(COUNT(*) * 0.01) AS BIGINT))) AS max_df
+                 FROM documents),
          keep AS (SELECT doc_id, fp FROM fp
-           QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 50)
+           QUALIFY COUNT(*) OVER (PARTITION BY fp) <= (SELECT max_df FROM cap))
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id""",
 
@@ -1358,6 +1478,11 @@ object SparkEntry {
     // pairs here.
     "q_ann_lsh" -> annLshOracle,
     "q_ann_lsh_index" -> annLshOracle,
+
+    // IVF family: full Lloyd-kmeans recompute in SQL (exact fixed-point
+    // centroid sums — see ivfOracle's doc for the cross-engine argument)
+    "q_ann_ivf" -> ivfOracle(),
+    "q_ann_ivf_index" -> ivfOracle(),
 
     "q_ann_pairs" ->
       s"""$annKeysCte,

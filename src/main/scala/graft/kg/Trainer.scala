@@ -36,6 +36,36 @@ object Trainer {
       dense: Array[Array[Float]], denseB: Array[Float],
       log: Seq[EpochMetrics], bestEpoch: Int)
 
+  /** Deterministic gradient fan-in with BOUNDED driver memory.
+    *
+    * Per-partition gradient partials must merge in a FIXED order — float
+    * addition reassociates, so task-completion-order merging (treeAggregate)
+    * is not bit-reproducible. Up to `fanIn` partitions the partials are
+    * collected and merged on the driver in ascending pid order (the exact
+    * historical semantics — results are bit-identical to prior rounds).
+    * Above `fanIn` a driver collect would hold P × |grad| bytes, linear in
+    * cluster size, so a depth-2 ordered merge runs instead: partitions
+    * group into ⌈√P⌉-sized pid ranges, each group reduces ON AN EXECUTOR in
+    * ascending pid order (groupByKey materializes ≤ ⌈√P⌉ partials per
+    * task), and the driver merges the ~√P group results in ascending group
+    * order — O(√P) driver memory, still a deterministic merge tree (a pure
+    * function of P), so training stays bit-reproducible at any cluster
+    * size. */
+  def gatherOrdered[T: scala.reflect.ClassTag](
+      parts: org.apache.spark.rdd.RDD[(Int, T)],
+      merge: (T, T) => T, fanIn: Int = 64): Array[T] = {
+    val p = parts.getNumPartitions
+    if (p <= fanIn) parts.collect().sortBy(_._1).map(_._2)
+    else {
+      val groupSize = math.max(1, math.ceil(math.sqrt(p.toDouble)).toInt)
+      val nGroups = (p + groupSize - 1) / groupSize
+      parts.map { case (pid, t) => (pid / groupSize, (pid, t)) }
+        .groupByKey(nGroups)
+        .mapValues(_.toArray.sortBy(_._1).map(_._2).reduceLeft(merge))
+        .collect().sortBy(_._1).map(_._2)
+    }
+  }
+
   /** Frozen-encoder feature extraction (sent model): one narrow pass,
     * routed through the full Split build ([[FeaturizeStage.run]]) so the
     * reference's training-side policies all apply — P11 ignore-relations,
@@ -417,19 +447,25 @@ object Trainer {
 
     for (epoch <- 1 to epochs) {
       val bc = spark.sparkContext.broadcast(flat)
-      val parts = train.rdd.mapPartitionsWithIndex { (pid, rows) =>
-        val g = new Array[Double](kernel.total)
-        var l = 0.0
-        rows.foreach { row =>
-          val mask = tc.maskRow(kernel.subjectNer(row), kernel.objectNer(row))
-          l += kernel.accumulateRow(bc.value, retain, row, mask, g)
-        }
-        Iterator((pid, (g, l)))
-      }.collect().sortBy(_._1)
+      val parts = gatherOrdered[(Array[Double], Double)](
+        train.rdd.mapPartitionsWithIndex { (pid, rows) =>
+          val g = new Array[Double](kernel.total)
+          var l = 0.0
+          rows.foreach { row =>
+            val mask = tc.maskRow(kernel.subjectNer(row), kernel.objectNer(row))
+            l += kernel.accumulateRow(bc.value, retain, row, mask, g)
+          }
+          Iterator((pid, (g, l)))
+        },
+        merge = { case ((g1, l1), (g2, l2)) =>
+          var j = 0
+          while (j < g1.length) { g1(j) += g2(j); j += 1 }
+          (g1, l1 + l2)
+        })
       bc.destroy()
       val grad = new Array[Double](kernel.total)
       var loss = 0.0
-      parts.foreach { case (_, (g, l)) =>
+      parts.foreach { case (g, l) =>
         var j = 0
         while (j < g.length) { grad(j) += g(j); j += 1 }
         loss += l
@@ -578,10 +614,12 @@ object Trainer {
     for (epoch <- 1 to epochs) {
       val bc = spark.sparkContext.broadcast((w, bias))
       // gradient of filtered CE wrt dense weights: dW = h ⊗ (p*mask' - y),
-      // db = p - y. Per-partition partials summed on the driver in FIXED
-      // partition order (same rationale as trainFull: treeAggregate merges
-      // in task-completion order — nondeterministic ulp reassociation).
-      val parts = train.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      // db = p - y. Per-partition partials merged in FIXED partition order
+      // via gatherOrdered (treeAggregate merges in task-completion order —
+      // nondeterministic ulp reassociation; the depth-2 path bounds driver
+      // memory at O(√P) once partition counts exceed the fan-in).
+      val parts = gatherOrdered[(Array[Double], Array[Double], Double)](
+        train.rdd.mapPartitionsWithIndex { (pid, rows) =>
         val (wX, bX) = bc.value
         val gw0 = Array.ofDim[Double](hDim * rDim)
         val gb0 = Array.ofDim[Double](rDim)
@@ -602,12 +640,19 @@ object Trainer {
           l0 -= math.log(p(row.label))
         }
         Iterator((pid, (gw0, gb0, l0)))
-      }.collect().sortBy(_._1)
+      },
+      merge = { case ((gwa, gba, la), (gwb, gbb, lb)) =>
+        var i = 0
+        while (i < gwa.length) { gwa(i) += gwb(i); i += 1 }
+        i = 0
+        while (i < gba.length) { gba(i) += gbb(i); i += 1 }
+        (gwa, gba, la + lb)
+      })
       bc.destroy()
       val gw = Array.ofDim[Double](hDim * rDim)
       val gb = Array.ofDim[Double](rDim)
       var loss = 0.0
-      parts.foreach { case (_, (gw1, gb1, l1)) =>
+      parts.foreach { case (gw1, gb1, l1) =>
         var i = 0
         while (i < gw1.length) { gw(i) += gw1(i); i += 1 }
         i = 0

@@ -446,9 +446,40 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Exact n-gram-set Jaccard for a CANDIDATE pair table — the corpus-scale
+    * form of [[ngramJaccard]]: pair GENERATION is delegated to LSH banding
+    * over the shared signature table ([[lshCandidatePairsFromSigs]]), so no
+    * quadratic stage exists anywhere; this stage joins the distinct
+    * shingle-HASH sets (16-byte md5s, never shingle strings) of candidate
+    * documents only. Shuffles: one distinct over (doc_id, sh), one hash
+    * join keyed by doc_a, one keyed by (doc_b, sh), one pair-keyed groupBy
+    * — each carries ids+digests, all linear in candidate volume. Pairs
+    * with an empty intersection drop out (inner join); LSH candidates
+    * virtually always intersect, and a zero-overlap pair carries no dedup
+    * signal. */
+  def ngramJaccardForPairs(documents: DataFrame, pairs: DataFrame,
+      minJaccard: Double = 0.0): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("sh")).distinct()
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val inter = pairs
+      .join(tok.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_size"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter_size").cast("double") /
+          (col("size_a") + col("size_b") - col("inter_size")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** N-gram (3-shingle-set) Jaccard similarity for candidate pairs within
     * the same lang, restricted to doc_id < cap (the quadratic demo is
-    * bounded; the scale path is LSH above). */
+    * bounded; the scale path is [[ngramJaccardForPairs]] over LSH
+    * candidates). */
   def ngramJaccard(documents: DataFrame, cap: Int = 200, minJaccard: Double = 0.0): DataFrame = {
     val docs = documents.filter(col("doc_id") < cap)
     val tok = docs.select(col("doc_id"), col("lang"), explode(shingles(col("text"))).as("token")).distinct()

@@ -288,26 +288,99 @@ object Multimodal {
       floor(col("height") * scale).cast("int").as("out_h"))
   }
 
-  /** Per-frame feature extraction (the CNN-embedding stand-in): a
-    * deterministic fake vector seeded by (content_md5, frame_idx) — the
-    * real system swaps ONLY the vector computation; the batch-shaped
-    * kernel, schema (`array<float>` + ids), and downstream compatibility
-    * with the Similarity ANN operators are the real, tested plumbing.
-    * Identical payloads yield identical features, so multimodal near-dups
-    * surface through [[graft.ops.Similarity.annCandidatePairs]]. */
-  def frameFeatures(spark: SparkSession, frames: DataFrame, meta: DataFrame,
+  /** The decoded payload BYTES of one frame — the per-frame content the
+    * feature extractor runs over, produced by the same real container
+    * walks as [[parseHeader]]:
+    *  - PNG: the IDAT chunk data (chunk walk from offset 8);
+    *  - GIF: image `frameIdx`'s LZW data sub-blocks, concatenated (block
+    *    walk, extensions skipped);
+    *  - JPEG: the SOF segment payload (marker scan);
+    *  - anything unrecognized/truncated: empty (the counted-fallback
+    *    contract of [[extractMeta]]). */
+  def frameData(p: Array[Byte], frameIdx: Int): Array[Byte] = {
+    if (parsePng(p).isDefined) {
+      var pos = 8 // chunk layout: length(4) tag(4) data(length) crc(4)
+      while (pos + 8 <= p.length) {
+        val len = rdU32be(p, pos)
+        if (p(pos + 4) == 'I' && p(pos + 5) == 'D' && p(pos + 6) == 'A' && p(pos + 7) == 'T')
+          return java.util.Arrays.copyOfRange(p, pos + 8, math.min(pos + 8 + len, p.length))
+        pos += 12 + len
+      }
+      Array.empty
+    } else if (parseGif(p).isDefined) {
+      val packed = p(10) & 0xFF
+      var pos = 13 + (if ((packed & 0x80) != 0) 3 * (2 << (packed & 0x07)) else 0)
+      var img = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while (pos < p.length) {
+        (p(pos) & 0xFF) match {
+          case 0x2C => // image descriptor
+            val ipacked = p(pos + 9) & 0xFF
+            pos += 10 + (if ((ipacked & 0x80) != 0) 3 * (2 << (ipacked & 0x07)) else 0)
+            pos += 1 // LZW min code size
+            val take = img == frameIdx
+            while (pos < p.length && (p(pos) & 0xFF) != 0) {
+              val bl = p(pos) & 0xFF
+              if (take) out ++= p.slice(pos + 1, math.min(pos + 1 + bl, p.length))
+              pos += 1 + bl
+            }
+            pos += 1 // block terminator
+            if (take) return out.toArray
+            img += 1
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            pos += 2
+            while (pos < p.length && (p(pos) & 0xFF) != 0) pos += 1 + (p(pos) & 0xFF)
+            pos += 1
+          case _ => return Array.empty // trailer before frameIdx, or malformed
+        }
+      }
+      Array.empty
+    } else if (parseJpeg(p).isDefined) {
+      var pos = 2
+      while (pos + 4 <= p.length) {
+        val marker = p(pos + 1) & 0xFF
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) pos += 2
+        else {
+          val segLen = rdU16be(p, pos + 2)
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) // payload after the 2-byte length field
+            return java.util.Arrays.copyOfRange(p, pos + 4, math.min(pos + 2 + segLen, p.length))
+          pos += 2 + segLen
+        }
+      }
+      Array.empty
+    } else Array.empty
+  }
+
+  /** Per-frame feature extraction over DECODED CONTENT: the vector is the
+    * parsed container dims followed by the frame's decoded payload bytes
+    * ([[frameData]] — IDAT data for PNG, the frame's LZW sub-blocks for
+    * GIF, the SOF payload for JPEG), zero-padded/truncated to `dim`. A
+    * real CNN swaps ONLY the bytes→vector map; the batch-shaped kernel,
+    * schema (`array<float>` + ids) and downstream compatibility with the
+    * Similarity ANN operators are unchanged. Every component derives from
+    * content bytes, so the DuckDB oracle recomputes the vectors exactly,
+    * and identical payloads yield identical features (multimodal near-dups
+    * surface through [[graft.ops.Similarity.annCandidatePairs]]). */
+  def frameFeatures(spark: SparkSession, frames: DataFrame, media: DataFrame,
       dim: Int = 16): DataFrame = {
     import spark.implicits._
-    frames.join(meta.select(col("doc_id"), col("content_md5")), Seq("doc_id"))
-      .select(col("doc_id"), col("frame_idx"), col("content_md5"))
-      .as[(Long, Int, String)]
+    frames.select(col("doc_id"), col("frame_idx"))
+      .join(media.select(col("doc_id"), col("payload")), Seq("doc_id"))
+      .select(col("doc_id"), col("frame_idx"), col("payload"))
+      .as[(Long, Int, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, frame, md5hex) =>
-          // FAKE EMBEDDING: seeded by content hash + frame index
-          var h = java.lang.Long.parseUnsignedLong(md5hex.substring(0, 16), 16) ^
-            (frame.toLong * 0x9E3779B97F4A7C15L)
-          val rng = new graft.kg.Gen.Rng(h)
-          (id, frame, Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+        it.map { case (id, frame, payload) =>
+          val (w, h) = parseHeader(payload)
+            .map { case (_, pw, ph, _) => (pw, ph) }.getOrElse((0, 0))
+          val fb = frameData(payload, frame)
+          val emb = new Array[Float](dim)
+          emb(0) = w.toFloat
+          emb(1) = h.toFloat
+          var i = 0
+          while (i < fb.length && i + 2 < dim) { emb(i + 2) = (fb(i) & 0xFF).toFloat; i += 1 }
+          (id, frame, emb)
         }
       }.toDF("doc_id", "frame_idx", "embedding")
   }

@@ -291,14 +291,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"), col("rn").cast("long").as("rn"))
   }
 
+  /** Fixed-point scale for the Lloyd accumulator: a power of two, so
+    * `v * CentroidScale` is EXACT in IEEE double (pure exponent shift) and
+    * `floor(x + 0.5)` is the only rounding step — identical in any engine.
+    * 2^20 leaves ~2^43 of headroom in the Long sum at |v| ≤ 1000 and
+    * corpus sizes beyond 10^9 rows per list. */
+  val CentroidScale: Long = 1L << 20
+
   /**
    * IVF coarse quantizer: deterministic Lloyd k-means over the corpus
    * (init = the `nlist` smallest vec_ids — data-dependent but replayable;
    * each iteration is ONE treeAggregate of per-centroid (sum, count), so
-   * driver↔executor traffic is nlist×dim doubles regardless of corpus
+   * driver↔executor traffic is nlist×dim values regardless of corpus
    * size). Returns the centroid table; at scale it is computed once per
    * index build, and vectors are written PARTITIONED by their list id so a
    * query's `nprobe` lists prune to `nprobe` partitions at the scan.
+   *
+   * The per-list accumulator is EXACT fixed-point: each component is
+   * quantized once to `floor(v·2^20 + 0.5)` and summed as a Long — integer
+   * addition is associative, so the centroid is bit-identical no matter
+   * how treeAggregate orders its combines (float sums reassociate in
+   * task-completion order — nondeterministic ulps). That makes the whole
+   * IVF family reproducible run-to-run, across partitionings, AND across
+   * engines: the DuckDB oracle recomputes the identical centroids with
+   * HUGEINT sums (centroid_d = sum/(count·2^20) as one double division).
    */
   def ivfCentroids(embeddings: DataFrame, nlist: Int = 8, iters: Int = 5): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
@@ -308,14 +324,15 @@ object Similarity {
     var centroids = vecs.orderBy(col("vec_id").asc).limit(nlist)
       .collect().map(_._2)
     val dim = centroids(0).length
+    val scale = CentroidScale
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val zero = (Array.ofDim[Double](nlist * dim), new Array[Long](nlist))
+      val zero = (Array.ofDim[Long](nlist * dim), new Array[Long](nlist))
       val (sums, counts) = vecs.rdd.treeAggregate(zero)(
         seqOp = { case ((s, n), (_, v)) =>
           val c = nearestCentroid(v, bc.value)
           var d = 0
-          while (d < dim) { s(c * dim + d) += v(d); d += 1 }
+          while (d < dim) { s(c * dim + d) += math.floor(v(d) * scale + 0.5).toLong; d += 1 }
           n(c) += 1
           (s, n)
         },
@@ -329,7 +346,7 @@ object Similarity {
       bc.destroy()
       centroids = Array.tabulate(nlist)(c =>
         if (counts(c) == 0) centroids(c) // empty list keeps its centroid
-        else Array.tabulate(dim)(d => sums(c * dim + d) / counts(c)))
+        else Array.tabulate(dim)(d => sums(c * dim + d).toDouble / (counts(c) * scale).toDouble))
     }
     vecs.unpersist()
     centroids

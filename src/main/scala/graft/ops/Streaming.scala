@@ -15,13 +15,20 @@ import org.apache.spark.sql.streaming.Trigger
 object Streaming {
 
   /** Tumbling 1-hour event-time counts per event_type, computed by an
-    * actual streaming query (memory sink, processAllAvailable). The result
-    * is identical to the batch `date_trunc` aggregation — which is the
-    * DuckDB oracle. */
+    * actual streaming query. The result is identical to the batch
+    * `date_trunc` aggregation — which is the DuckDB oracle.
+    *
+    * Sink shape: the stateful windowed aggregate is SMALL by construction
+    * (one row per open (window, event_type)), so each micro-batch
+    * idempotently overwrites a parquet snapshot of the complete aggregate
+    * (foreachBatch, the standard streaming-agg → snapshot-table pattern)
+    * and the caller reads the final snapshot back — results never flow
+    * through a driver-memory sink, so the output path is executor-parallel
+    * like the streaming-KG file sink. */
   def windowedEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
     val eventsDir = stageDir(eventsPath)
     val schema = spark.read.parquet(eventsDir).schema
-    val name = s"stream_counts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
     val q = spark.readStream.schema(schema).parquet(eventsDir)
       // parquet NTZ → LTZ for event-time semantics (session TZ is UTC, so
       // wall-clock values are unchanged); window start goes back to NTZ so
@@ -33,20 +40,29 @@ object Streaming {
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
       .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/agg")
+        ()
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q.stop()
-    val out = spark.table(name).persist()
-    out.count() // materialize before the memory sink table goes away
-    out
+    // materialize (localCheckpoint is eager) so the staging dir can be removed
+    val result = spark.read.parquet(s"$out/agg").localCheckpoint()
+    graft.kg.Lineage.deleteRecursively(out)
+    result
   }
 
   /** Stateful streaming dedup: dropDuplicates on a composite key with an
     * event-time watermark bounding state (the scale-safe form — state for
     * keys older than the watermark is evicted). Emits the surviving key set,
     * which equals SELECT DISTINCT — the DuckDB oracle.
+    *
+    * Sink shape: append-mode parquet FILE sink (dropDuplicates emits each
+    * first-seen key once, so append is exact) + batch read-back — the same
+    * executor-parallel output path as the streaming-KG pipeline; no
+    * driver-memory sink anywhere in the execution path.
     *
     * `maxFilesPerTrigger > 0` rate-limits the source so AvailableNow runs
     * REAL multi-micro-batch execution (state carries across batch
@@ -74,13 +90,16 @@ object Streaming {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     if (batchCounter.isDefined) spark.streams.addListener(listener)
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
     val q = limited.parquet(eventsDir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "24 hours")
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
       .writeStream.outputMode("append")
-      .format("memory").queryName(name)
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
@@ -98,9 +117,9 @@ object Streaming {
       spark.streams.removeListener(listener)
       batchCounter.foreach(_.set(counted.get()))
     }
-    val out = spark.table(name).persist()
-    out.count()
-    out
+    val result = spark.read.parquet(s"$out/data").localCheckpoint()
+    graft.kg.Lineage.deleteRecursively(out)
+    result
   }
 
   /** Stage a single parquet FILE as a directory for the streaming source. */

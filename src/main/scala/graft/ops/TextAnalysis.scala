@@ -121,6 +121,19 @@ object TextAnalysis {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** Stop-fingerprint df cap sized from the corpus count, the same
+    * contract as [[graft.ops.Similarity.planesForCorpus]] for ANN banding:
+    * a fingerprint shared by more than ~1 % of documents is boilerplate at
+    * ANY corpus size — a fixed absolute cap would reclassify legitimate
+    * shared substrings as boilerplate as n grows (50 docs is 10 % of a
+    * 500-doc corpus but 0.00005 % of a 10^8-doc one). Clamped to
+    * [50, 100000]: the floor keeps toy-scale semantics stable (and equal to
+    * the historical fixed 50 at every sandbox scale factor); the ceiling
+    * bounds in-bucket task memory at web scale. SQL-expressible, so the
+    * DuckDB oracle computes the identical cap from COUNT(*). */
+  def maxDfForCorpus(n: Long): Int =
+    math.min(100000L, math.max(50L, math.ceil(n * 0.01).toLong)).toInt
+
   /** Winnow near-dup candidate pairs at corpus scale: doc pairs sharing at
     * least one DISCRIMINATIVE winnow fingerprint — the same banding shape
     * as minhash-LSH (ONE shuffle keyed by fingerprint carrying
@@ -129,18 +142,22 @@ object TextAnalysis {
     * than `maxDf` documents is boilerplate (a stop-fingerprint), carries no
     * near-dup signal, and would expand quadratically, so its bucket emits
     * nothing and its ids land on the "graft.winnow.dropped_ids"
-    * accumulator. Task memory is O(maxDf) regardless of bucket size. */
+    * accumulator. Task memory is O(maxDf) regardless of bucket size.
+    * `maxDf <= 0` (the default) sizes the cap from the corpus count via
+    * [[maxDfForCorpus]] — one cheap count() against the (pruned) doc_id
+    * column, then the plan is built with the right threshold for that n. */
   def winnowCandidatePairs(spark: org.apache.spark.sql.SparkSession,
-      documents: DataFrame, k: Int = 8, w: Int = 6, maxDf: Int = 50,
+      documents: DataFrame, k: Int = 8, w: Int = 6, maxDf: Int = 0,
       droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
+    val df = if (maxDf > 0) maxDf else maxDfForCorpus(documents.count())
     val dropped = droppedAcc.getOrElse(
       spark.sparkContext.longAccumulator("graft.winnow.dropped_ids"))
     winnowFingerprints(spark, documents, k, w)
       .select(col("fingerprint"), col("doc_id")).as[(Long, Long)]
       .repartition(col("fingerprint"))
       .sortWithinPartitions(col("fingerprint"), col("doc_id"))
-      .mapPartitions(it => BucketWindow.pairsIfSmall(it, maxDf, dropped, "winnow"))
+      .mapPartitions(it => BucketWindow.pairsIfSmall(it, df, dropped, "winnow"))
       .toDF("doc_a", "doc_b")
       .distinct()
   }

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Larger-scale battery datapoint (VERDICT r4 ask #8): build an
+ * sf1-EQUIVALENT corpus locally (10× the sf0.1 bench tables, seeded and
+ * deterministic) and run the dedup + ANN family once, to confirm the
+ * bounded-memory claims empirically — overflow accumulator counts instead
+ * of OOMs, wall-clock that scales like the row count.
+ *
+ * Corpus construction (pure transformations of the driver's sf0.1 parquet —
+ * no external data): `copies` shifted replicas of each table with disjoint
+ * id ranges. Replica 1 is byte-identical to replica 0 (exact-dup structure:
+ * every doc has one true duplicate), replicas 2+ carry a one-token /
+ * first-component perturbation (near-dup structure: clusters of ~`copies`
+ * near-identical members — the worst realistic shape for banding operators,
+ * boilerplate-heavy like a crawled corpus).
+ *
+ * Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+ * SPARK_GRAFT_COPIES (default 10), SPARK_GRAFT_CPUS (default 32),
+ * SPARK_GRAFT_TRIALS (default 2 — min is reported; the sandbox has bursty
+ * background load).
+ *
+ * Prints one JSON line: per-op seconds (min over trials), result rows, and
+ * every overflow accumulator.
+ */
+object Sf1Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val idStride = 10000000L
+    def replicate(df: DataFrame, idCol: String, perturb: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map { c =>
+        val shifted = df.withColumn(idCol, col(idCol) + lit(c * idStride))
+        if (c >= 2) perturb(shifted, c) else shifted // replicas 0,1 identical
+      }.reduce(_ unionByName _)
+
+    val docs = replicate(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id",
+      (d, c) => d.withColumn("text", concat(col("text"), lit(s" copytok$c"))))
+      .localCheckpoint() // materialize once; every op reads the same table
+    val embs = replicate(spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id",
+      (e, c) => e.withColumn("embedding",
+        concat(array((element_at(col("embedding"), 1) + lit(c * 0.001f)).cast("float")),
+          slice(col("embedding"), 2, 63))))
+      .localCheckpoint()
+    val nDocs = docs.count()
+    val nEmbs = embs.count()
+
+    val sc = spark.sparkContext
+    val accs = scala.collection.mutable.LinkedHashMap(
+      "lsh_dropped" -> sc.longAccumulator("graft.lsh.dropped_ids"),
+      "winnow_dropped" -> sc.longAccumulator("graft.winnow.dropped_ids"),
+      "simhash_dropped" -> sc.longAccumulator("graft.simhash.dropped_ids"),
+      "ann_dropped" -> sc.longAccumulator("graft.ann.dropped_ids"))
+
+    import graft.ops.{Dedup, Similarity, TextAnalysis}
+    val sigs = Dedup.minhashSignatures(docs, 4).localCheckpoint()
+    val ops: Seq[(String, () => Long)] = Seq(
+      "dedup_exact" -> (() => Dedup.exact(docs).count()),
+      "minhash_sigs" -> (() => Dedup.minhashSignatures(docs, 4).count()),
+      "lsh_pairs" -> (() => Dedup.lshCandidatePairsFromSigs(
+        sigs, droppedAcc = Some(accs("lsh_dropped"))).count()),
+      "neardup_clusters" -> (() => Dedup.nearDupClusters(docs, sigs = Some(sigs)).count()),
+      "simhash_pairs" -> (() => Dedup.simhashPairs(docs,
+        droppedAcc = Some(accs("simhash_dropped"))).count()),
+      "winnow_pairs" -> (() => TextAnalysis.winnowCandidatePairs(spark, docs,
+        droppedAcc = Some(accs("winnow_dropped"))).count()),
+      "ngram_jaccard_lsh" -> (() => Dedup.ngramJaccardForPairs(docs,
+        Dedup.lshCandidatePairsFromSigs(sigs)).count()),
+      "bloom_decontaminate" -> (() => Dedup.decontaminateBloom(docs,
+        docs.filter(col("doc_id") % 97 === 0), n = 3).count()),
+      "ann_pairs" -> (() => Similarity.annCandidatePairs(embs, 0.3,
+        droppedAcc = Some(accs("ann_dropped"))).count()),
+      "ann_knn" -> (() => Similarity.annTopKJoin(embs, k = 1, minCosine = 0.2).count()))
+
+    val results = ops.map { case (name, run) =>
+      var rows = 0L
+      val secs = (1 to trials).map { _ =>
+        val t0 = System.nanoTime()
+        rows = run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(f"[sf1probe] $name%-20s ${secs.min}%8.2f s  rows=$rows")
+      (name, secs.min, rows)
+    }
+
+    val opsJson = results.map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }
+      .mkString("{", ",", "}")
+    val accJson = accs.map { case (n, a) => s""""$n":${a.value}""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"sf1_probe","value":$total,"unit":"sec","copies":$copies,"n_docs":$nDocs,"n_embeddings":$nEmbs,"ops":$opsJson,"overflow":$accJson}""")
+    spark.stop()
+  }
+}

@@ -132,6 +132,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(planesForCorpus(Long.MaxValue, 1) === 30)      // clamped
   }
 
+  test("maxDfForCorpus keeps stop-fingerprint semantics a corpus FRACTION") {
+    import graft.ops.TextAnalysis.maxDfForCorpus
+    // sandbox scales sit on the floor — historical fixed-50 behavior intact
+    assert(maxDfForCorpus(500L) === 50)
+    assert(maxDfForCorpus(5000L) === 50)
+    assert(maxDfForCorpus(0L) === 50)
+    // beyond the floor: 1% of the corpus…
+    assert(maxDfForCorpus(1000000L) === 10000)
+    // …until the task-memory ceiling binds
+    assert(maxDfForCorpus(100000000L) === 100000)
+    assert(maxDfForCorpus(Long.MaxValue / 4) === 100000)
+    // the auto default (maxDf=0) wires the count-derived cap into the plan:
+    // with the floor active at test scale it must equal the explicit 50
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val auto = graft.ops.TextAnalysis.winnowCandidatePairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = graft.ops.TextAnalysis.winnowCandidatePairs(spark, docs, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === fixed)
+  }
+
   test("annCandidatePairsAuto wires the corpus count into the banding plan") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
@@ -340,7 +361,8 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(math.abs(ow.toDouble / w - oh.toDouble / h) < 0.02, "aspect preserved")
     }
     val frames = graft.ops.Multimodal.sampleFrames(meta)
-    val feats = graft.ops.Multimodal.frameFeatures(spark, frames, meta)
+    val feats = graft.ops.Multimodal.frameFeatures(spark, frames,
+      graft.ops.Multimodal.mediaTableSynth(docs))
       .withColumn("vec_id", col("doc_id") * 1000 + col("frame_idx"))
     val pairs = graft.ops.Similarity
       .annCandidatePairs(feats.select(col("vec_id"), col("embedding")), minCosine = 0.999)

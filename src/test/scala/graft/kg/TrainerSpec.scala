@@ -93,6 +93,41 @@ class TrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("gatherOrdered: bounded fan-in merge is deterministic at every depth " +
+      "and exact for exact math") {
+    val sc = spark.sparkContext
+    // 40 partitions of long-array partials: integer addition is exact, so
+    // the depth-2 tree (fanIn 8 < 40) must equal the flat pid-order sum
+    val data = sc.parallelize(0 until 40, 40).mapPartitionsWithIndex { (pid, _) =>
+      Iterator((pid, Array.tabulate(5)(j => (pid * 31 + j).toLong)))
+    }
+    def mergeL(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
+    val flat = data.collect().sortBy(_._1).map(_._2)
+      .reduceLeft(mergeL).toSeq
+    val deep1 = Trainer.gatherOrdered(data, mergeL, fanIn = 8).reduceLeft(mergeL).toSeq
+    val deep2 = Trainer.gatherOrdered(data, mergeL, fanIn = 8).reduceLeft(mergeL).toSeq
+    assert(deep1 === flat, "exact-math depth-2 merge must equal the flat ordered sum")
+    assert(deep1 === deep2, "depth-2 merge must be run-to-run deterministic")
+    // double partials: the depth-2 tree is a DIFFERENT (but fixed)
+    // association — bit-identical across runs, and ≈ the flat sum
+    val dd = sc.parallelize(0 until 40, 40).mapPartitionsWithIndex { (pid, _) =>
+      Iterator((pid, Array.tabulate(5)(j => math.sin(pid * 31 + j))))
+    }
+    def mergeD(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
+    val d1 = Trainer.gatherOrdered(dd, mergeD, fanIn = 8).reduceLeft(mergeD).toSeq
+    val d2 = Trainer.gatherOrdered(dd, mergeD, fanIn = 8).reduceLeft(mergeD).toSeq
+    assert(d1 === d2, "double depth-2 merge must be bit-deterministic")
+    val dFlat = dd.collect().sortBy(_._1).map(_._2).reduceLeft(mergeD)
+    d1.zip(dFlat).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    // small-P path: identical to the historical collect-and-sort semantics
+    val small = Trainer.gatherOrdered(data, mergeL).map(_.toSeq).toSeq
+    assert(small === data.collect().sortBy(_._1).map(_._2.toSeq).toSeq)
+  }
+
   test("FULL-model GRU training learns and is bit-deterministic") {
     val trainEx = spark.range(400).map(i => Gen.labeledExample(42L, i))
     val devEx = spark.range(400, 520).map(i => Gen.labeledExample(42L, i))

@@ -57,6 +57,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseHeader(withApp0) === Some(("jpeg", w, h, 1)))
   }
 
+  test("frameData walks each container to the frame's decoded payload bytes") {
+    // PNG: IDAT data = first 8 content bytes, padded with 0x5A
+    val short = "abc".getBytes("US-ASCII") // n=3 → png arm
+    assert(Multimodal.frameData(Multimodal.synthesize(short), 0).toSeq ===
+      ("abc".getBytes("US-ASCII") ++ Array.fill(5)(0x5A.toByte)).toSeq)
+    val png9 = "abcdefghi".getBytes("US-ASCII") // 9 % 3 = 0 → png, truncates to 8
+    assert(Multimodal.frameData(Multimodal.synthesize(png9), 0).toSeq ===
+      "abcdefgh".getBytes("US-ASCII").toSeq)
+    // GIF: image f's single data sub-block carries the byte f
+    val gifContent = Array.fill(43)(0x42.toByte) // 4 frames
+    val gif = Multimodal.synthesize(gifContent)
+    (0 until 4).foreach { f =>
+      assert(Multimodal.frameData(gif, f).toSeq === Seq(f.toByte), s"frame $f")
+    }
+    // an extension before the images must not shift the frame indexing
+    val ext = Array(0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    val gifExt = gif.take(13) ++ ext ++ gif.drop(13)
+    assert(Multimodal.frameData(gifExt, 2).toSeq === Seq(2.toByte))
+    // out-of-range frame → empty
+    assert(Multimodal.frameData(gif, 9).isEmpty)
+    // JPEG: SOF segment payload = [precision, h_hi, h_lo, w_hi, w_lo, 1, 1, 0x11, 0]
+    val jc = Array.fill(5)(0x43.toByte)
+    val (_, w, h, _) = Multimodal.synthDims(5)
+    assert(Multimodal.frameData(Multimodal.synthesize(jc), 0).toSeq ===
+      Seq(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0).map(_.toByte))
+    // unknown container → empty (counted upstream)
+    assert(Multimodal.frameData("not a container".getBytes("US-ASCII"), 0).isEmpty)
+  }
+
   test("unknown containers take the counted fake-decode fallback") {
     val docs = Seq((1L, "plain text, not a container", "en"),
       (2L, "also not a container", "en")).toDF("doc_id", "text", "lang")

@@ -82,9 +82,17 @@ object Sf1Probe {
         Dedup.lshCandidatePairsFromSigs(sigs)).count()),
       "bloom_decontaminate" -> (() => Dedup.decontaminateBloom(docs,
         docs.filter(col("doc_id") % 97 === 0), n = 3).count()),
-      "ann_pairs" -> (() => Similarity.annCandidatePairs(embs, 0.3,
+      // battery-default banding (planesPerBand=3, sized for the 2k-vector
+      // bench table): at 20k vectors the expected bucket grows 10×, and the
+      // in-bucket verify grows ~100× — the measured cost of NOT resizing
+      "ann_pairs_default" -> (() => Similarity.annCandidatePairs(embs, 0.3,
         droppedAcc = Some(accs("ann_dropped"))).count()),
-      "ann_knn" -> (() => Similarity.annTopKJoin(embs, k = 1, minCosine = 0.2).count()))
+      // the production path: planesForCorpus re-sizes the banding to the
+      // actual corpus count, holding expected bucket population constant
+      "ann_pairs_auto" -> (() => Similarity.annCandidatePairsAuto(embs, 0.3,
+        targetBucketSize = 1000, droppedAcc = Some(accs("ann_dropped"))).count()),
+      "ann_knn_auto" -> (() => Similarity.annTopKJoin(embs, k = 1, minCosine = 0.2,
+        planesPerBand = Similarity.planesForCorpus(nEmbs, 1000)).count()))
 
     val results = ops.map { case (name, run) =>
       var rows = 0L

@@ -52,6 +52,25 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!j.keys.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("ngramJaccardForPairs (scale form) verifies LSH candidates with the " +
+      "exact set Jaccard") {
+    val pairs = graft.ops.Dedup.lshCandidatePairs(d)
+      .select(col("doc_a"), col("doc_b"))
+    val j = graft.ops.Dedup.ngramJaccardForPairs(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs: Jaccard exactly 1.0, regardless of lang (no lang gate
+    // in the scale form — LSH banding is content-only)
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 5L)) === 1.0)
+    assert(j((2L, 5L)) === 1.0)
+    // the unrelated doc is never a candidate, so never verified
+    assert(!j.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // values agree with the exact quadratic demo on shared (same-lang) pairs
+    val demo = graft.ops.Dedup.ngramJaccard(d, cap = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    j.keys.filter(demo.contains).foreach(k => assert(j(k) === demo(k), s"pair $k"))
+  }
+
   test("simhash: identical text hamming 0 → pair found; distinct text far") {
     val pairs = graft.ops.Dedup.simhashPairs(d, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

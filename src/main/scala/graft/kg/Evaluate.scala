@@ -204,12 +204,16 @@ object Evaluate {
       wrongs: DataFrame)
 
   /** Full pred.py-style evaluation: micro metrics + per-relation report +
-    * wrongs table, plus a best_scores.json sink when `scoresPath` is set. */
+    * wrongs table, plus a best_scores.json sink when `scoresPath` is set
+    * and the two pred.py:80-84 figures (confusion_matrix.png,
+    * relation_histogram.png via [[Plots]]) when `plotsDir` is set. */
   def run(spark: SparkSession, examples: Dataset[SentenceExample],
       bundleBc: Broadcast[Pipeline.ScoringBundle],
-      scoresPath: Option[String] = None): Report = {
+      scoresPath: Option[String] = None,
+      plotsDir: Option[String] = None): Report = {
     val scored = scoreExamples(spark, examples, bundleBc).toDF().persist()
     try {
+      plotsDir.foreach(d => Plots.writeEvalPlots(d, scored))
       val micro = Metrics.microPRF(scored, "pred", "targ")
       val accRow = scored.agg(
         sum(when(col("pred") === col("targ"), 1L).otherwise(0L)), count(lit(1))).head()

@@ -1392,7 +1392,10 @@ object SparkEntry {
     // the full 16-dim frame vector recomputed from content: dims from the
     // synthDims formulas, frame bytes per format (PNG IDAT = content head
     // padded with 0x5A=90; GIF frame f's sub-block = [f]; JPEG SOF payload
-    // = [precision, h_hi, h_lo, w_hi, w_lo, 1, 1, 0x11, 0]), zero-padded
+    // = [precision, h_hi, h_lo, w_hi, w_lo, 1, 1, 0x11, 0]), zero-padded.
+    // ASCII-testdata invariant (same as the winnow oracle): the PNG arm
+    // reads characters (unicode(substr)) where Spark reads UTF-8 HEAD
+    // BYTES — equivalent only while text is ASCII, as the driver corpus is
     "q_media_features" ->
       s"""WITH nb AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents),
          m AS (SELECT doc_id, text, n, n % 3 AS fmt,

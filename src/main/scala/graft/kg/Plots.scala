@@ -24,18 +24,14 @@ import org.apache.spark.sql.functions._
 object Plots {
 
   // ---------------------------------------------------------------------------
-  // PNG container (truecolor, 8-bit, filter 0 scanlines, one IDAT)
+  // PNG container (truecolor, 8-bit, filter 0 scanlines, one IDAT) — the
+  // chunk encoder is shared with the multimodal container synthesizer
   // ---------------------------------------------------------------------------
 
-  private def u32be(v: Int): Array[Byte] =
-    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def u32be(v: Int): Array[Byte] = graft.ops.Multimodal.u32be(v)
 
-  private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
-    val crc = new java.util.zip.CRC32
-    val tagB = tag.getBytes("US-ASCII")
-    crc.update(tagB); crc.update(data)
-    u32be(data.length) ++ tagB ++ data ++ u32be(crc.getValue.toInt)
-  }
+  private def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+    graft.ops.Multimodal.pngChunk(tag, data)
 
   /** Encode a packed RGB raster (3 bytes/pixel, row-major) as a PNG. */
   def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {

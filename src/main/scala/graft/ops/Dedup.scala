@@ -456,14 +456,17 @@ object Dedup {
     * — each carries ids+digests, all linear in candidate volume. Pairs
     * with an empty intersection drop out (inner join); LSH candidates
     * virtually always intersect, and a zero-overlap pair carries no dedup
-    * signal. */
+    * signal. The pair table is deduplicated defensively (ids-only
+    * distinct): a duplicated (doc_a, doc_b) row — e.g. from a multi-band
+    * candidate source — would otherwise multiply inter_size and push
+    * jaccard past 1. */
   def ngramJaccardForPairs(documents: DataFrame, pairs: DataFrame,
       minJaccard: Double = 0.0): DataFrame = {
     val tok = documents
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
       .select(col("doc_id"), md5(col("shingle")).as("sh")).distinct()
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
-    val inter = pairs
+    val inter = pairs.select(col("doc_a"), col("doc_b")).distinct()
       .join(tok.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
       .join(tok.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_size"))

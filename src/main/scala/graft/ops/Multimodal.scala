@@ -53,12 +53,14 @@ object Multimodal {
     }
   }
 
-  private def u32be(v: Int): Array[Byte] =
+  private[graft] def u32be(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
   private def u16be(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
   private def u16le(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
 
-  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+  /** length + tag + data + CRC32(tag ++ data) — the PNG chunk container
+    * (shared with [[graft.kg.Plots]]' encoder). */
+  private[graft] def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
     val crc = new java.util.zip.CRC32
     val tagB = tag.getBytes("US-ASCII")
     crc.update(tagB); crc.update(data)
@@ -302,8 +304,11 @@ object Multimodal {
       var pos = 8 // chunk layout: length(4) tag(4) data(length) crc(4)
       while (pos + 8 <= p.length) {
         val len = rdU32be(p, pos)
+        // parsePng validates only signature+IHDR; a corrupt/hostile chunk
+        // length must not walk out of bounds (or overflow Int) here
+        if (len < 0 || pos.toLong + 12L + len > p.length) return Array.empty
         if (p(pos + 4) == 'I' && p(pos + 5) == 'D' && p(pos + 6) == 'A' && p(pos + 7) == 'T')
-          return java.util.Arrays.copyOfRange(p, pos + 8, math.min(pos + 8 + len, p.length))
+          return java.util.Arrays.copyOfRange(p, pos + 8, pos + 8 + len)
         pos += 12 + len
       }
       Array.empty

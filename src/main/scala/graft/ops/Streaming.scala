@@ -29,7 +29,8 @@ object Streaming {
     val eventsDir = stageDir(eventsPath)
     val schema = spark.read.parquet(eventsDir).schema
     val out = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
-    val q = spark.readStream.schema(schema).parquet(eventsDir)
+    try {
+      val q = spark.readStream.schema(schema).parquet(eventsDir)
       // parquet NTZ → LTZ for event-time semantics (session TZ is UTC, so
       // wall-clock values are unchanged); window start goes back to NTZ so
       // the output type matches the source column.
@@ -46,12 +47,11 @@ object Streaming {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
-    // materialize (localCheckpoint is eager) so the staging dir can be removed
-    val result = spark.read.parquet(s"$out/agg").localCheckpoint()
-    graft.kg.Lineage.deleteRecursively(out)
-    result
+      q.processAllAvailable()
+      q.stop()
+      // materialize (localCheckpoint is eager) so the staging dir can be removed
+      spark.read.parquet(s"$out/agg").localCheckpoint()
+    } finally graft.kg.Lineage.deleteRecursively(out) // also on query failure
   }
 
   /** Stateful streaming dedup: dropDuplicates on a composite key with an
@@ -91,7 +91,8 @@ object Streaming {
     }
     if (batchCounter.isDefined) spark.streams.addListener(listener)
     val out = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
-    val q = limited.parquet(eventsDir)
+    try {
+      val q = limited.parquet(eventsDir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "24 hours")
       .dropDuplicates("user_id", "event_type")
@@ -102,24 +103,23 @@ object Streaming {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
-    if (batchCounter.isDefined) {
-      // listener events are delivered asynchronously — wait (bounded) for
-      // the count to stop moving before reading it
-      var last = -1
-      var waited = 0
-      while (counted.get() != last && waited < 5000) {
-        last = counted.get()
-        Thread.sleep(100)
-        waited += 100
+      q.processAllAvailable()
+      q.stop()
+      if (batchCounter.isDefined) {
+        // listener events are delivered asynchronously — wait (bounded) for
+        // the count to stop moving before reading it
+        var last = -1
+        var waited = 0
+        while (counted.get() != last && waited < 5000) {
+          last = counted.get()
+          Thread.sleep(100)
+          waited += 100
+        }
+        spark.streams.removeListener(listener)
+        batchCounter.foreach(_.set(counted.get()))
       }
-      spark.streams.removeListener(listener)
-      batchCounter.foreach(_.set(counted.get()))
-    }
-    val result = spark.read.parquet(s"$out/data").localCheckpoint()
-    graft.kg.Lineage.deleteRecursively(out)
-    result
+      spark.read.parquet(s"$out/data").localCheckpoint()
+    } finally graft.kg.Lineage.deleteRecursively(out) // also on query failure
   }
 
   /** Stage a single parquet FILE as a directory for the streaming source. */

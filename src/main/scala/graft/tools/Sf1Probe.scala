@@ -60,11 +60,15 @@ object Sf1Probe {
     val nEmbs = embs.count()
 
     val sc = spark.sparkContext
+    // one accumulator per op that can drop ids (separate default/auto ANN
+    // counters), RESET before every trial so the recorded value is one
+    // run's drops, not a sum over trials
     val accs = scala.collection.mutable.LinkedHashMap(
       "lsh_dropped" -> sc.longAccumulator("graft.lsh.dropped_ids"),
       "winnow_dropped" -> sc.longAccumulator("graft.winnow.dropped_ids"),
       "simhash_dropped" -> sc.longAccumulator("graft.simhash.dropped_ids"),
-      "ann_dropped" -> sc.longAccumulator("graft.ann.dropped_ids"))
+      "ann_default_dropped" -> sc.longAccumulator("graft.ann.dropped_ids.default"),
+      "ann_auto_dropped" -> sc.longAccumulator("graft.ann.dropped_ids.auto"))
 
     import graft.ops.{Dedup, Similarity, TextAnalysis}
     val sigs = Dedup.minhashSignatures(docs, 4).localCheckpoint()
@@ -86,28 +90,35 @@ object Sf1Probe {
       // bench table): at 20k vectors the expected bucket grows 10×, and the
       // in-bucket verify grows ~100× — the measured cost of NOT resizing
       "ann_pairs_default" -> (() => Similarity.annCandidatePairs(embs, 0.3,
-        droppedAcc = Some(accs("ann_dropped"))).count()),
+        droppedAcc = Some(accs("ann_default_dropped"))).count()),
       // the production path: planesForCorpus re-sizes the banding to the
       // actual corpus count, holding expected bucket population constant
       "ann_pairs_auto" -> (() => Similarity.annCandidatePairsAuto(embs, 0.3,
-        targetBucketSize = 1000, droppedAcc = Some(accs("ann_dropped"))).count()),
+        targetBucketSize = 1000, droppedAcc = Some(accs("ann_auto_dropped"))).count()),
       "ann_knn_auto" -> (() => Similarity.annTopKJoin(embs, k = 1, minCosine = 0.2,
         planesPerBand = Similarity.planesForCorpus(nEmbs, 1000)).count()))
 
+    // each accumulator is driven by exactly one op; its value is SNAPSHOT
+    // right after that op's trials (the last trial's count — the reset
+    // before each trial keeps it a single-run figure, not a trial sum)
+    val finalCounts = scala.collection.mutable.LinkedHashMap(
+      accs.keys.map(_ -> 0L).toSeq: _*)
     val results = ops.map { case (name, run) =>
       var rows = 0L
       val secs = (1 to trials).map { _ =>
+        accs.values.foreach(_.reset())
         val t0 = System.nanoTime()
         rows = run()
         (System.nanoTime() - t0) / 1e9
       }
+      accs.foreach { case (n, a) => if (a.value > 0) finalCounts(n) = a.value }
       System.err.println(f"[sf1probe] $name%-20s ${secs.min}%8.2f s  rows=$rows")
       (name, secs.min, rows)
     }
 
     val opsJson = results.map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }
       .mkString("{", ",", "}")
-    val accJson = accs.map { case (n, a) => s""""$n":${a.value}""" }.mkString("{", ",", "}")
+    val accJson = finalCounts.map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"sf1_probe","value":$total,"unit":"sec","copies":$copies,"n_docs":$nDocs,"n_embeddings":$nEmbs,"ops":$opsJson,"overflow":$accJson}""")
     spark.stop()

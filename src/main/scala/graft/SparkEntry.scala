@@ -60,11 +60,15 @@ object SparkEntry {
   /** IVF centroids computed ONCE per (session, dir) — the coarse-quantizer
     * table is an index-build artifact shared by every consumer (one-shot
     * search AND index write), mirroring [[SigCache]]'s at-scale contract.
-    * Deterministic, so caching cannot change results (pins unchanged). */
+    * nlist auto-sizes from the corpus count (√n rule, `nlistForCorpus`) —
+    * the oracle recomputes the identical count from COUNT(*).
+    * Deterministic, so caching cannot change results. */
   private object CentroidCache {
-    private val cache = new SessionDirCache[Array[Array[Double]]]((s, dir) =>
-      graft.ops.Similarity.ivfCentroids(
-        s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") =!= 0)))
+    private val cache = new SessionDirCache[Array[Array[Double]]]((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") =!= 0)
+      graft.ops.Similarity.ivfCentroids(e,
+        nlist = graft.ops.Similarity.nlistForCorpus(e.count()))
+    })
     def centroids(s: SparkSession, dir: String): Array[Array[Double]] = cache.get(s, dir)
   }
 
@@ -589,8 +593,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
         .getSeq[Float](0).toArray
+      val cents = CentroidCache.centroids(s, dir)
       Similarity.ivfCosineTopK(e.filter(col("vec_id") =!= 0), q, 10,
-        precomputed = Some(CentroidCache.centroids(s, dir)))
+        nprobe = Similarity.nprobeForNlist(cents.length),
+        precomputed = Some(cents))
     }),
     // materialized-index paths IN the battery: write the index once to a
     // staging dir, probe it through partition pruning, return the top-k
@@ -611,9 +617,11 @@ object SparkEntry {
         .getSeq[Float](0).toArray
       val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
       try {
+        val cents = CentroidCache.centroids(s, dir)
         Similarity.writeIvfIndex(e.filter(col("vec_id") =!= 0), idx,
-          precomputed = Some(CentroidCache.centroids(s, dir)))
-        Similarity.queryIvfIndex(s, idx, q, 10).localCheckpoint()
+          precomputed = Some(cents))
+        Similarity.queryIvfIndex(s, idx, q, 10,
+          nprobe = Similarity.nprobeForNlist(cents.length)).localCheckpoint()
       } finally graft.kg.Lineage.deleteRecursively(idx)
     }),
     "q_nn_join" -> ((s, dir) => Similarity.nearestNeighborJoin(t(s, dir, "embeddings"), 100)),
@@ -815,9 +823,12 @@ object SparkEntry {
     *
     * The 5 Lloyd iterations are unrolled as chained CTEs (a{i} = assignment
     * under c{i-1}, s{i} = per-(list, dim) exact sums, c{i} = new centroid
-    * list with empty lists keeping their previous centroid). */
-  private def ivfOracle(nlist: Int = 8, iters: Int = 5, k: Int = 10,
-      nprobe: Int = 2): String = {
+    * list with empty lists keeping their previous centroid). nlist and
+    * nprobe are COUNT(*)-derived in the `param` CTE — the same
+    * `nlistForCorpus` √n rule / `nprobeForNlist` nlist/8 rule the battery
+    * applies (sqrt/ceil are correctly-rounded IEEE ops, identical across
+    * engines for integer inputs). */
+  private def ivfOracle(iters: Int = 5, k: Int = 10): String = {
     val scale = graft.ops.Similarity.CentroidScale
     def assign(name: String, cents: String) =
       s"""$name AS (SELECT vec_id, v, list FROM (
@@ -840,11 +851,18 @@ object SparkEntry {
            FROM embeddings WHERE vec_id <> 0),
          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          dims AS (SELECT UNNEST(generate_series(1, $EmbeddingDim)) AS d),
+         param AS (SELECT nlist, GREATEST(2, nlist // 8) AS nprobe FROM (
+             SELECT LEAST(65536, GREATEST(8,
+               CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS nlist FROM e)),
          c0 AS (SELECT rn - 1 AS list, v AS cent FROM (
-             SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn FROM e) WHERE rn <= $nlist),
+             SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn FROM e)
+           WHERE rn <= (SELECT nlist FROM param)),
          $steps,
-         probe AS (SELECT c.list FROM c$iters c CROSS JOIN q
-           ORDER BY list_distance(c.cent, q.qe) ASC, c.list ASC LIMIT $nprobe),
+         probe AS (SELECT list FROM (
+             SELECT c.list, ROW_NUMBER() OVER (
+               ORDER BY list_distance(c.cent, q.qe) ASC, c.list ASC) AS rn
+             FROM c$iters c CROSS JOIN q)
+           WHERE rn <= (SELECT nprobe FROM param)),
          ${assign("afinal", s"c$iters")}
          SELECT a.vec_id, ${cosineSql("a.v", "q.qe")} AS cosine
          FROM afinal a CROSS JOIN q

@@ -291,6 +291,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"), col("rn").cast("long").as("rn"))
   }
 
+  /** IVF list count sized from the corpus — the standard √n rule (lists ~
+    * √n balances the coarse-quantizer scan against the in-list scan):
+    * clamp(⌈√n⌉, 8, 65536). The floor keeps toy-scale behavior at the
+    * historical nlist=8 for n ≤ 64; the ceiling bounds the broadcast
+    * centroid table (65536 × dim doubles ≈ 32 MB at dim 64). Same
+    * corpus-count-parameterization contract as [[planesForCorpus]] and
+    * `TextAnalysis.maxDfForCorpus`; SQL-expressible, so the DuckDB oracle
+    * computes the identical count from COUNT(*). */
+  def nlistForCorpus(n: Long): Int =
+    math.min(65536L, math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Probe width for an nlist-sized index: max(2, nlist/8) — a constant
+    * FRACTION of the lists (12.5 %), so recall stays stable as nlist grows
+    * with √n instead of collapsing toward probing 2 of 65536. */
+  def nprobeForNlist(nlist: Int): Int = math.max(2, nlist / 8)
+
   /** Fixed-point scale for the Lloyd accumulator: a power of two, so
     * `v * CentroidScale` is EXACT in IEEE double (pure exponent shift) and
     * `floor(x + 0.5)` is the only rounding step — identical in any engine.

@@ -24,13 +24,24 @@ object Streaming {
     * (foreachBatch, the standard streaming-agg → snapshot-table pattern)
     * and the caller reads the final snapshot back — results never flow
     * through a driver-memory sink, so the output path is executor-parallel
-    * like the streaming-KG file sink. */
-  def windowedEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    * like the streaming-KG file sink.
+    *
+    * `maxFilesPerTrigger > 0` rate-limits the source so AvailableNow runs
+    * REAL multi-micro-batch execution: the snapshot is overwritten once
+    * per batch and the final state equals the batch aggregation no matter
+    * how the files split (asserted in StreamingSpec); `batchCounter`
+    * receives the number of snapshot writes. */
+  def windowedEventCounts(spark: SparkSession, eventsPath: String,
+      maxFilesPerTrigger: Int = 0,
+      batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     val eventsDir = stageDir(eventsPath)
     val schema = spark.read.parquet(eventsDir).schema
     val out = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
     try {
-      val q = spark.readStream.schema(schema).parquet(eventsDir)
+      val reader = spark.readStream.schema(schema)
+      val limited = if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+      val q = limited.parquet(eventsDir)
       // parquet NTZ → LTZ for event-time semantics (session TZ is UTC, so
       // wall-clock values are unchanged); window start goes back to NTZ so
       // the output type matches the source column.
@@ -42,6 +53,7 @@ object Streaming {
         col("event_type"), col("n"), col("total_value"))
       .writeStream.outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        batchCounter.foreach(_.incrementAndGet())
         batch.write.mode("overwrite").parquet(s"$out/agg")
         ()
       }

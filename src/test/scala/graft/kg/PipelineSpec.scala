@@ -225,6 +225,30 @@ class PipelineSpec extends AnyFunSuite {
     } finally Lineage.deleteRecursively(dir)
   }
 
+  test("rate-limited windowed agg: snapshot overwrite across micro-batches " +
+      "equals the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-stream-win-multibatch").toString
+    try {
+      // events spread over 5 files: each micro-batch sees a PARTIAL hour,
+      // so the final snapshot is correct only if the complete-mode state
+      // (not just the last batch's rows) reaches the overwrite
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(5).write.mode("overwrite").parquet(dir)
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val streamed = graft.ops.Streaming.windowedEventCounts(spark, dir,
+        maxFilesPerTrigger = 1, batchCounter = Some(batches))
+        .collect().map(r => (r.get(0).toString + "/" + r.getString(1), r.getLong(2))).toMap
+      assert(batches.get() >= 3,
+        s"rate limit must force multiple snapshot writes, got ${batches.get()}")
+      val exact = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.get(0).toString + "/" + r.getString(1), r.getLong(2))).toMap
+      assert(streamed === exact)
+    } finally Lineage.deleteRecursively(dir)
+  }
+
   test("triple P/R vs frozen reference extractions >= 0.95 (BASELINE gate)") {
     val goldenPath = getClass.getResource("/golden_triples.tsv")
     assume(goldenPath != null, "golden fixture not yet generated — run graft.kg.GoldenGen")

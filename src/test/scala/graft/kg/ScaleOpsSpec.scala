@@ -132,6 +132,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(planesForCorpus(Long.MaxValue, 1) === 30)      // clamped
   }
 
+  test("nlistForCorpus / nprobeForNlist follow the √n and fixed-fraction rules") {
+    import graft.ops.Similarity.{nlistForCorpus, nprobeForNlist}
+    assert(nlistForCorpus(0L) === 8)            // floor
+    assert(nlistForCorpus(64L) === 8)           // √64 = floor boundary
+    assert(nlistForCorpus(499L) === 23)         // sf0.001 embeddings (vec 0 excluded)
+    assert(nlistForCorpus(1999L) === 45)        // sf0.1
+    assert(nlistForCorpus(1000000L) === 1000)
+    assert(nlistForCorpus(Long.MaxValue / 4) === 65536) // ceiling
+    assert(nprobeForNlist(8) === 2)             // probe floor
+    assert(nprobeForNlist(45) === 5)            // 12.5 % of lists
+    assert(nprobeForNlist(65536) === 8192)
+  }
+
   test("maxDfForCorpus keeps stop-fingerprint semantics a corpus FRACTION") {
     import graft.ops.TextAnalysis.maxDfForCorpus
     // sandbox scales sit on the floor — historical fixed-50 behavior intact

@@ -462,7 +462,12 @@ object Dedup {
     * jaccard past 1. */
   def ngramJaccardForPairs(documents: DataFrame, pairs: DataFrame,
       minJaccard: Double = 0.0): DataFrame = {
-    val tok = documents
+    // shingle-explode ONLY candidate documents: at corpus scale the docs
+    // appearing in any LSH pair are a small fraction of the table, and the
+    // semi-join that prunes them moves ids alone
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val tok = documents.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
       .select(col("doc_id"), md5(col("shingle")).as("sh")).distinct()
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))

@@ -556,6 +556,10 @@ object SparkEntry {
     // Gopher-style repetition quality gates (distinct ratio, top-token and
     // top-2gram fractions)
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+    // duplicated-span statistics: fixed-length (20-token) approximation of
+    // exact substring dedup — per-doc fraction of span positions whose
+    // span recurs verbatim in another document
+    "q_dup_spans" -> ((s, dir) => TextAnalysis.dupSpanStats(t(s, dir, "documents"))),
     // PII redaction over a deterministically PII-spiked corpus (the
     // synthetic docs carry no emails/phones, so the query injects one of
     // each — derived from doc_id — and the oracle replicates the spike)
@@ -1197,6 +1201,21 @@ object SparkEntry {
            CAST(t1.top1 AS DOUBLE) / b.n_tokens AS top_token_frac,
            CAST(COALESCE(t2.top2, 0) AS DOUBLE) / GREATEST(b.n_tokens - 1, 1) AS top_2gram_frac
          FROM base b JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)""",
+
+    // 20-token spans via 1-based inclusive list slicing (t[i:i+19] = 20
+    // elements), joined back by span digest — mirrors dupSpanStats exactly
+    "q_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 19)) AS i FROM d),
+         sp AS (SELECT doc_id, md5(list_aggregate(t[i:i+19], 'string_agg', ' ')) AS sh FROM ix),
+         df AS (SELECT sh, COUNT(DISTINCT doc_id) AS n_docs FROM sp GROUP BY sh),
+         agg AS (SELECT s.doc_id, COUNT(*) AS n_spans,
+                   SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS dup_spans
+                 FROM sp s JOIN df USING (sh) GROUP BY s.doc_id)
+         SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(dup_spans AS BIGINT) AS dup_spans,
+           CAST(dup_spans AS DOUBLE) / n_spans AS dup_frac
+         FROM agg""",
 
     "q_pii_redact" ->
       """WITH spiked AS (SELECT doc_id,

@@ -67,6 +67,34 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("re_tokens"),
       length(col("text")).as("chars"))
 
+  /** Duplicated-span statistics — the fixed-length approximation of exact
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": drop/penalize text whose long token spans
+    * recur verbatim across the corpus). For every `n`-token span position,
+    * the span is duplicated when its hash occurs in MORE THAN ONE document;
+    * the per-document output is (span count, duplicated-span count, their
+    * ratio) — the filterable signal, with ratios of exact ints (identical
+    * float64 cross-engine).
+    *
+    * Scale shape: one explode to (doc_id, span-md5) — 16-byte digests, never
+    * span text; a distinct + groupBy(hash) for the document frequency
+    * (map-side partial agg); one hash join back (linear, keyed by digest);
+    * one groupBy(doc). No quadratic stage — the classic suffix-array
+    * construction is replaced by the hash multiset, which loses only
+    * span-boundary precision (positions, not intervals, are counted). */
+  def dupSpanStats(documents: DataFrame, n: Int = 20): DataFrame = {
+    val spans = documents
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("sh"))
+    val docFreq = spans.distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+    spans.join(docFreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
   /** Canonical document fingerprint: md5 of the sorted distinct token set —
     * invariant under token order (near-dup canary). */
   def fingerprint(documents: DataFrame): DataFrame =

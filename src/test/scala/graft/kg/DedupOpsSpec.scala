@@ -117,6 +117,29 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
   }
 
+  test("dupSpanStats: shared 20-token runs count as duplicated positions, " +
+      "unique docs read zero") {
+    val run = (1 to 25).map(i => s"tok$i").mkString(" ") // 25 shared tokens
+    val dd = docs(
+      (1L, s"$run alpha beta gamma", "en"),
+      (2L, s"prefix words here $run", "en"),    // shares the 25-token run
+      (3L, (1 to 30).map(i => s"uniq$i").mkString(" "), "en"), // no overlap
+      (4L, "short doc", "en"))                   // < 20 tokens → no spans
+    val got = graft.ops.TextAnalysis.dupSpanStats(dd).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 28 tokens → 9 span positions; positions 1..6 start inside the
+    // shared run (25-token run → 25-20+1 = 6 shared spans); positions 7-9
+    // include the alpha/beta/gamma tail → unique
+    assert(got(1L) === ((9L, 6L, 6.0 / 9)))
+    // doc 2: 28 tokens → 9 spans; the shared run occupies the TAIL → its 6
+    // spans are the last ones
+    assert(got(2L) === ((9L, 6L, 6.0 / 9)))
+    // doc 3: 30 unique tokens → 11 spans, none duplicated
+    assert(got(3L) === ((11L, 0L, 0.0)))
+    // doc 4: under the span length → absent entirely
+    assert(!got.contains(4L))
+  }
+
   test("mixture sampling: deterministic, per-group rates, absent groups dropped") {
     val many = docs((1L to 400L).map(i => (i, s"doc number $i payload", if (i % 2 == 0) "en" else "fr")): _*)
     val sampled = graft.ops.TextAnalysis.mixtureSample(many,

@@ -81,11 +81,16 @@ object TextAnalysis {
     * (map-side partial agg); one hash join back (linear, keyed by digest);
     * one groupBy(doc). No quadratic stage — the classic suffix-array
     * construction is replaced by the hash multiset, which loses only
-    * span-boundary precision (positions, not intervals, are counted). */
+    * span-boundary precision (positions, not intervals, are counted).
+    * The span-digest table feeds BOTH the document-frequency aggregate and
+    * the join back, so it is materialized once (localCheckpoint here; at
+    * corpus scale a prior job writes it as a shared table, the SigCache
+    * contract) instead of re-running the 20-wide concat per consumer. */
   def dupSpanStats(documents: DataFrame, n: Int = 20): DataFrame = {
     val spans = documents
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("span"))
       .select(col("doc_id"), md5(col("span")).as("sh"))
+      .localCheckpoint()
     val docFreq = spans.distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
     spans.join(docFreq, Seq("sh"))

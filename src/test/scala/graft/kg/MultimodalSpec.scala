@@ -86,6 +86,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.frameData("not a container".getBytes("US-ASCII"), 0).isEmpty)
   }
 
+  test("parseHeader/frameData never throw on arbitrary bytes (fuzz, seeded)") {
+    val rng = new java.util.Random(4242L)
+    // pure random payloads + random-corrupted valid containers: the
+    // parsers must return None/empty or a value, never throw (the walk
+    // guards validate chunk/segment lengths the header checks don't)
+    (1 to 400).foreach { i =>
+      val p = new Array[Byte](rng.nextInt(120))
+      rng.nextBytes(p)
+      Multimodal.parseHeader(p)
+      Multimodal.frameData(p, rng.nextInt(4))
+    }
+    (1 to 400).foreach { i =>
+      val content = Array.tabulate(1 + rng.nextInt(80))(j => (j % 251).toByte)
+      val c = Multimodal.synthesize(content)
+      // flip 1-3 random bytes of a valid container
+      (0 to rng.nextInt(3)).foreach { _ =>
+        c(rng.nextInt(c.length)) = (rng.nextInt(256) - 128).toByte
+      }
+      Multimodal.parseHeader(c)
+      Multimodal.frameData(c, rng.nextInt(4))
+    }
+    succeed
+  }
+
   test("unknown containers take the counted fake-decode fallback") {
     val docs = Seq((1L, "plain text, not a container", "en"),
       (2L, "also not a container", "en")).toDF("doc_id", "text", "lang")

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
  * Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
  * SPARK_GRAFT_COPIES (default 10), SPARK_GRAFT_CPUS (default 32),
  * SPARK_GRAFT_TRIALS (default 2 — min is reported; the sandbox has bursty
- * background load).
+ * background load), SPARK_GRAFT_SKIP (comma-separated op names — e.g.
+ * skip the deliberately-mis-sized ann_pairs_default at larger multiples,
+ * where its quadratic verify would dominate the probe).
  *
  * Prints one JSON line: per-op seconds (min over trials), result rows, and
  * every overflow accumulator.
@@ -103,7 +105,8 @@ object Sf1Probe {
     // before each trial keeps it a single-run figure, not a trial sum)
     val finalCounts = scala.collection.mutable.LinkedHashMap(
       accs.keys.map(_ -> 0L).toSeq: _*)
-    val results = ops.map { case (name, run) =>
+    val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "").split(",").filter(_.nonEmpty).toSet
+    val results = ops.filterNot(o => skip(o._1)).map { case (name, run) =>
       var rows = 0L
       val secs = (1 to trials).map { _ =>
         accs.values.foreach(_.reset())

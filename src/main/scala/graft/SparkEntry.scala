@@ -628,6 +628,9 @@ object SparkEntry {
           nprobe = Similarity.nprobeForNlist(cents.length)).localCheckpoint()
       } finally graft.kg.Lineage.deleteRecursively(idx)
     }),
+    // int8 symmetric quantization — the embedding-storage compression pass;
+    // exact-integer stats + code digest make the full vector oracle-checked
+    "q_embed_quantize" -> ((s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))),
     "q_nn_join" -> ((s, dir) => Similarity.nearestNeighborJoin(t(s, dir, "embeddings"), 100)),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 150, 0.3)),
@@ -1518,6 +1521,24 @@ object SparkEntry {
     // pairs here.
     "q_ann_lsh" -> annLshOracle,
     "q_ann_lsh_index" -> annLshOracle,
+
+    // int8 quantization: all-integer code stats + the digest of the exact
+    // code string — a wrong rounding mode or scale breaks the hash
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+         q AS (SELECT vec_id, mx,
+                 list_transform(v, x -> CASE WHEN mx > 0
+                   THEN CAST(round(x * 127.0 / mx) AS INT) ELSE 0 END) AS ql
+               FROM m)
+         SELECT vec_id, ROUND(mx / 127.0, 9) AS scale,
+           CAST(len(ql) AS BIGINT) AS n_dims,
+           CAST(list_sum(ql) AS BIGINT) AS q_sum,
+           CAST(list_min(ql) AS BIGINT) AS q_min,
+           CAST(list_max(ql) AS BIGINT) AS q_max,
+           md5(list_aggregate(list_transform(ql, x -> CAST(x AS VARCHAR)),
+             'string_agg', ',')) AS q_md5
+         FROM q""",
 
     // IVF family: full Lloyd-kmeans recompute in SQL (exact fixed-point
     // centroid sums — see ivfOracle's doc for the cross-engine argument)

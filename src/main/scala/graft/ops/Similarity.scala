@@ -468,6 +468,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * compression an embedding corpus runs before indexing (4×
+    * smaller than float32; recall loss negligible at 8 bits):
+    * `q_d = round(v_d · 127 / max|v|)` per vector, with the per-vector
+    * scale kept alongside for dequantization. Pure codegen'd HOF chain —
+    * narrow, shuffle-free, linear. The digest + the exact-integer stats
+    * (sum/min/max of the quantized values) make the full quantized vector
+    * oracle-checkable without hauling arrays through the harness; zero
+    * vectors keep a zero scale and an all-zero code. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val mx = array_max(transform(v, x => abs(x)))
+    val q = transform(v, x =>
+      when(mx > 0, round(x * lit(127.0) / mx).cast("int")).otherwise(lit(0)))
+    embeddings
+      .withColumn("scale", round(mx / lit(127.0), 9))
+      .withColumn("q", q)
+      .select(col("vec_id"), col("scale"),
+        size(col("q")).cast("long").as("n_dims"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("q")).cast("long").as("q_min"),
+        array_max(col("q")).cast("long").as("q_max"),
+        md5(array_join(transform(col("q"), _.cast("string")), ",")).as("q_md5"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
     * threshold within a bounded id range (the exact, oracle-checkable form
     * kept as the recall oracle for [[annCandidatePairs]], which is the

@@ -132,6 +132,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(planesForCorpus(Long.MaxValue, 1) === 30)      // clamped
   }
 
+  test("quantizeInt8: codes bounded to [-127,127], dequantization error " +
+      "within half a step, zero vectors get zero codes") {
+    val e = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0),   // zero vector
+      (3L, Array(2.0f, 2.0f, 2.0f, 2.0f), 0))   // constant → all ±127
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.quantizeInt8(e).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 1: mx=1.0, codes = round([0.5,-1,0.25,0]*127) = [64,-127,32,0]
+    assert(got(1L)._2 === -31L) // q_sum = 64 - 127 + 32 + 0
+    assert(got(1L)._3 === -127L && got(1L)._4 === 64L)
+    assert(math.abs(got(1L)._1 - 1.0 / 127.0) < 1e-9)
+    // zero vector: scale 0, all-zero code
+    assert(got(2L) === ((0.0, 0L, 0L, 0L)))
+    // constant vector: every code saturates at 127 exactly
+    assert(got(3L)._2 === 4 * 127L && got(3L)._3 === 127L && got(3L)._4 === 127L)
+    assert(math.abs(got(3L)._1 - 2.0 / 127.0) < 1e-9)
+    // dequantization error bound over a real slice: |v - q*scale| <= scale/2
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    graft.ops.Similarity.quantizeInt8(emb)
+      .select(col("vec_id"), col("scale")).collect().foreach { r =>
+        val v = rows(r.getLong(0))
+        val mx = v.map(math.abs).max
+        if (mx > 0) {
+          val scale = mx / 127.0
+          v.foreach { x =>
+            val q = math.rint(x * 127.0 / mx)
+            assert(math.abs(x - q * scale) <= scale / 2 + 1e-12)
+          }
+          assert(math.abs(r.getDouble(1) - scale) < 1e-9 + 1e-12)
+        }
+      }
+  }
+
   test("nlistForCorpus / nprobeForNlist follow the √n and fixed-fraction rules") {
     import graft.ops.Similarity.{nlistForCorpus, nprobeForNlist}
     assert(nlistForCorpus(0L) === 8)            // floor

@@ -57,6 +57,19 @@ object SparkEntry {
     def sigs(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
   }
 
+  /** The SHARED 20-token span-digest table — [[SigCache]]'s contract for
+    * the duplicated-span family: the exploded (doc_id, span-md5) table is
+    * computed and materialized ONCE per (session, dir) and every consumer
+    * (document-frequency aggregate, join-back, any future exact-substring-
+    * interval operator) reads it, instead of re-running the 20-wide shingle
+    * concat per query. At 100 TB this is a written table from a prior job. */
+  private object SpanCache {
+    private val cache = new SessionDirCache[DataFrame]((s, dir) =>
+      graft.ops.TextAnalysis.spanDigests(
+        s.read.parquet(s"$dir/documents.parquet"), 20).localCheckpoint())
+    def spans(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
+  }
+
   /** IVF centroids computed ONCE per (session, dir) — the coarse-quantizer
     * table is an index-build artifact shared by every consumer (one-shot
     * search AND index write), mirroring [[SigCache]]'s at-scale contract.
@@ -559,7 +572,7 @@ object SparkEntry {
     // duplicated-span statistics: fixed-length (20-token) approximation of
     // exact substring dedup — per-doc fraction of span positions whose
     // span recurs verbatim in another document
-    "q_dup_spans" -> ((s, dir) => TextAnalysis.dupSpanStats(t(s, dir, "documents"))),
+    "q_dup_spans" -> ((s, dir) => TextAnalysis.dupSpanStatsFromSpans(SpanCache.spans(s, dir))),
     // PII redaction over a deterministically PII-spiked corpus (the
     // synthetic docs carry no emails/phones, so the query injects one of
     // each — derived from doc_id — and the oracle replicates the spike)
@@ -823,25 +836,31 @@ object SparkEntry {
     *    either engine's aggregation order, and
     *    `centroid_d = sum / (count·2^20)` is one double division — bit-equal
     *    both sides;
-    *  - assignments/probes compare L2 distances (`list_distance` here, the
-    *    sequential loop there): ulp reassociation can only flip an argmin on
-    *    an exact tie, which the random corpus does not produce;
+    *  - assignments/probes compare the IDENTICAL quantity both sides: the
+    *    raw SQUARED L2 sum, accumulated left-to-right ([[sqDistSql]] — a
+    *    zip-lambda `list_sum`, which DuckDB folds in list order exactly like
+    *    the Scala while-loop in `Similarity.nearestCentroid`). No sqrt
+    *    anywhere, so there is no rounding step that could collapse two
+    *    distinct squared distances into a SQL-side tie;
     *  - the final cosine is the established `list_dot_product` bridge.
     *
     * The 5 Lloyd iterations are unrolled as chained CTEs (a{i} = assignment
     * under c{i-1}, s{i} = per-(list, dim) exact sums, c{i} = new centroid
     * list with empty lists keeping their previous centroid). nlist and
     * nprobe are COUNT(*)-derived in the `param` CTE — the same
-    * `nlistForCorpus` √n rule / `nprobeForNlist` nlist/8 rule the battery
-    * applies (sqrt/ceil are correctly-rounded IEEE ops, identical across
-    * engines for integer inputs). */
+    * `nlistForCorpus` √n-with-min-population rule / `nprobeForNlist`
+    * nlist/8 rule the battery applies (sqrt/ceil are correctly-rounded IEEE
+    * ops, identical across engines for integer inputs). */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
   private def ivfOracle(iters: Int = 5, k: Int = 10): String = {
     val scale = graft.ops.Similarity.CentroidScale
     def assign(name: String, cents: String) =
       s"""$name AS (SELECT vec_id, v, list FROM (
            SELECT e.vec_id, e.v, c.list,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY list_distance(e.v, c.cent) ASC, c.list ASC) AS rn
+               ORDER BY ${sqDistSql("e.v", "c.cent")} ASC, c.list ASC) AS rn
            FROM e CROSS JOIN $cents c) WHERE rn = 1)"""
     val steps = (1 to iters).map { i =>
       s"""${assign(s"a$i", s"c${i - 1}")},
@@ -859,15 +878,16 @@ object SparkEntry {
          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          dims AS (SELECT UNNEST(generate_series(1, $EmbeddingDim)) AS d),
          param AS (SELECT nlist, GREATEST(2, nlist // 8) AS nprobe FROM (
-             SELECT LEAST(65536, GREATEST(8,
-               CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS nlist FROM e)),
+             SELECT LEAST(65536,
+               GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)),
+               GREATEST(8, COUNT(*) // 256)) AS nlist FROM e)),
          c0 AS (SELECT rn - 1 AS list, v AS cent FROM (
              SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn FROM e)
            WHERE rn <= (SELECT nlist FROM param)),
          $steps,
          probe AS (SELECT list FROM (
              SELECT c.list, ROW_NUMBER() OVER (
-               ORDER BY list_distance(c.cent, q.qe) ASC, c.list ASC) AS rn
+               ORDER BY ${sqDistSql("c.cent", "q.qe")} ASC, c.list ASC) AS rn
              FROM c$iters c CROSS JOIN q)
            WHERE rn <= (SELECT nprobe FROM param)),
          ${assign("afinal", s"c$iters")}
@@ -1531,7 +1551,7 @@ object SparkEntry {
                  list_transform(v, x -> CASE WHEN mx > 0
                    THEN CAST(round(x * 127.0 / mx) AS INT) ELSE 0 END) AS ql
                FROM m)
-         SELECT vec_id, ROUND(mx / 127.0, 9) AS scale,
+         SELECT vec_id, mx AS amax,
            CAST(len(ql) AS BIGINT) AS n_dims,
            CAST(list_sum(ql) AS BIGINT) AS q_sum,
            CAST(list_min(ql) AS BIGINT) AS q_min,

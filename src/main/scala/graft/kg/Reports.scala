@@ -24,20 +24,29 @@ object Reports {
    * two lines are headers, the last two are averages, each body line is
    *   `       no_relation       0.86      0.34      0.49      6191`
    * P/R/F1 are re-formatted as percentages, support kept verbatim.
-   */
-  def parseSklearnReport(text: String): Seq[ReportRow] = {
+   *
+   * Robustness contract (same as the container parsers and the P14
+   * malformed-row channel): arbitrary/truncated text never throws — a line
+   * that is not a 5-field row with numeric P/R/F1 is SKIPPED and counted on
+   * `badLines`, so one corrupt report line cannot abort a pipeline that
+   * ingests thousands of experiment artifacts. */
+  def parseSklearnReport(text: String,
+      badLines: Option[java.util.concurrent.atomic.LongAdder] = None): Seq[ReportRow] = {
     // blank lines dropped FIRST (robust to trailing newlines / extra blank
     // separators): what remains is header, body rows, avg/total footer
     val lines = text.linesIterator.filter(_.trim.nonEmpty).toSeq
-    lines.slice(1, math.max(1, lines.length - 1)).map { line =>
-      line.trim.split("\\s+") match {
+    lines.slice(1, math.max(1, lines.length - 1)).flatMap { line =>
+      val row = line.trim.split("\\s+") match {
         case Array(relation, precision, recall, f1, support) =>
-          ReportRow(relation, pct(precision.toDouble), pct(recall.toDouble),
-            pct(f1.toDouble), support)
-        case other =>
-          throw new IllegalArgumentException(
-            s"malformed sklearn report line (${other.length} fields): $line")
+          for {
+            p <- precision.toDoubleOption
+            r <- recall.toDoubleOption
+            f <- f1.toDoubleOption
+          } yield ReportRow(relation, pct(p), pct(r), pct(f), support)
+        case _ => None
       }
+      if (row.isEmpty) badLines.foreach(_.increment())
+      row
     }
   }
 
@@ -45,17 +54,18 @@ object Reports {
    * Gabor-report lines (plot_utils.py:58-64):
    *   `[org:number_of_employees/members]  #: 9  P: 100.00%  R: 0.00%  F1: 0.00%`
    * Nine whitespace-separated tokens; the relation sheds its brackets;
-   * percentages are kept verbatim (already formatted).
-   */
-  def parseGaborReport(text: String): Seq[ReportRow] =
-    text.linesIterator.filter(_.trim.nonEmpty).map { line =>
+   * percentages are kept verbatim (already formatted). Same skip-and-count
+   * robustness contract as [[parseSklearnReport]]. */
+  def parseGaborReport(text: String,
+      badLines: Option[java.util.concurrent.atomic.LongAdder] = None): Seq[ReportRow] =
+    text.linesIterator.filter(_.trim.nonEmpty).flatMap { line =>
       line.trim.split("\\s+") match {
         case Array(relation, _, support, _, precision, _, recall, _, f1) =>
-          ReportRow(relation.stripPrefix("[").stripSuffix("]"),
-            precision, recall, f1, support)
-        case other =>
-          throw new IllegalArgumentException(
-            s"malformed gabor report line (${other.length} fields): $line")
+          Some(ReportRow(relation.stripPrefix("[").stripSuffix("]"),
+            precision, recall, f1, support))
+        case _ =>
+          badLines.foreach(_.increment())
+          None
       }
     }.toSeq
 

@@ -292,15 +292,22 @@ object Similarity {
   }
 
   /** IVF list count sized from the corpus — the standard √n rule (lists ~
-    * √n balances the coarse-quantizer scan against the in-list scan):
-    * clamp(⌈√n⌉, 8, 65536). The floor keeps toy-scale behavior at the
-    * historical nlist=8 for n ≤ 64; the ceiling bounds the broadcast
+    * √n balances the coarse-quantizer scan against the in-list scan), with
+    * a MIN-LIST-POPULATION term so lists hold ≥ ~256 vectors at any n:
+    * min(⌈√n⌉, max(8, n/256), 65536). For n ≥ 256² = 65536 the population
+    * term exceeds √n, so the rule is exactly ⌈√n⌉ at scale; below that it
+    * stops √n from fragmenting a toy corpus into dozens of near-empty
+    * partition files (n = 2k would otherwise make 45 lists of ~44 vectors —
+    * measurable per-file overhead locally, no recall benefit). The floor
+    * keeps the historical nlist = 8; the 65536 ceiling bounds the broadcast
     * centroid table (65536 × dim doubles ≈ 32 MB at dim 64). Same
     * corpus-count-parameterization contract as [[planesForCorpus]] and
     * `TextAnalysis.maxDfForCorpus`; SQL-expressible, so the DuckDB oracle
     * computes the identical count from COUNT(*). */
   def nlistForCorpus(n: Long): Int =
-    math.min(65536L, math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    math.min(65536L,
+      math.min(math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong),
+               math.max(8L, n / 256L))).toInt
 
   /** Probe width for an nlist-sized index: max(2, nlist/8) — a constant
     * FRACTION of the lists (12.5 %), so recall stays stable as nlist grows
@@ -472,20 +479,23 @@ object Similarity {
     * compression an embedding corpus runs before indexing (4×
     * smaller than float32; recall loss negligible at 8 bits):
     * `q_d = round(v_d · 127 / max|v|)` per vector, with the per-vector
-    * scale kept alongside for dequantization. Pure codegen'd HOF chain —
+    * max-abs (`amax`) kept alongside for dequantization (scale = amax/127,
+    * derived by the consumer — emitting the float-EXACT amax instead of a
+    * decimal-rounded quotient keeps the column bit-comparable across
+    * engines; abs and max are exact IEEE ops). Pure codegen'd HOF chain —
     * narrow, shuffle-free, linear. The digest + the exact-integer stats
     * (sum/min/max of the quantized values) make the full quantized vector
     * oracle-checkable without hauling arrays through the harness; zero
-    * vectors keep a zero scale and an all-zero code. */
+    * vectors keep a zero amax and an all-zero code. */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val mx = array_max(transform(v, x => abs(x)))
     val q = transform(v, x =>
       when(mx > 0, round(x * lit(127.0) / mx).cast("int")).otherwise(lit(0)))
     embeddings
-      .withColumn("scale", round(mx / lit(127.0), 9))
+      .withColumn("amax", mx)
       .withColumn("q", q)
-      .select(col("vec_id"), col("scale"),
+      .select(col("vec_id"), col("amax"),
         size(col("q")).cast("long").as("n_dims"),
         aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
         array_min(col("q")).cast("long").as("q_min"),

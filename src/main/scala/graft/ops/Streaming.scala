@@ -14,56 +14,111 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object Streaming {
 
+  /** Reserved event_type carried by watermark-drain sentinel rows; contains
+    * a NUL so it can never collide with real event types. Sentinel rows only
+    * ever form their own (window, event_type) groups, which are filtered out
+    * of the read-back. */
+  val SentinelType = "\u0000graft_drain"
+
   /** Tumbling 1-hour event-time counts per event_type, computed by an
     * actual streaming query. The result is identical to the batch
     * `date_trunc` aggregation — which is the DuckDB oracle.
     *
-    * Sink shape: the stateful windowed aggregate is SMALL by construction
-    * (one row per open (window, event_type)), so each micro-batch
-    * idempotently overwrites a parquet snapshot of the complete aggregate
-    * (foreachBatch, the standard streaming-agg → snapshot-table pattern)
-    * and the caller reads the final snapshot back — results never flow
-    * through a driver-memory sink, so the output path is executor-parallel
-    * like the streaming-KG file sink.
+    * State shape (the 100 TB story): `outputMode("append")` + the 1-hour
+    * watermark means a window's state row is EVICTED as soon as the
+    * watermark passes its end — state holds only the open ~2 hours of
+    * windows per event_type at any instant, regardless of stream length
+    * (asserted bounded across micro-batches in PipelineSpec via
+    * `stateRowsMax`). Finalized windows append to a parquet FILE sink via
+    * foreachBatch, so results never flow through a driver-memory sink and
+    * the final table is the union of appends (each window emitted exactly
+    * once).
+    *
+    * Drain: a bounded batch run ends with the last ~2 windows still open
+    * (watermark = maxTs − 1 h never passes them), so after the data run we
+    * perform the standard drain-flush — append a far-future sentinel row
+    * (reserved [[SentinelType]]) and resume from the same checkpoint so the
+    * watermark jumps past every real window end and flushes them. Two
+    * sentinel rounds (+3 h, +6 h) because eviction in batch k uses the
+    * watermark computed from batches < k. Sentinel groups are filtered from
+    * the read-back; under AvailableNow the final table equals the batch
+    * aggregation exactly, so the DuckDB oracle is unchanged.
     *
     * `maxFilesPerTrigger > 0` rate-limits the source so AvailableNow runs
-    * REAL multi-micro-batch execution: the snapshot is overwritten once
-    * per batch and the final state equals the batch aggregation no matter
-    * how the files split (asserted in StreamingSpec); `batchCounter`
-    * receives the number of snapshot writes. */
+    * REAL multi-micro-batch execution (append-mode state must carry across
+    * batch boundaries); `batchCounter` receives the number of foreachBatch
+    * invocations, `stateRowsMax` the max state-store row count observed
+    * across all micro-batches (to assert boundedness). NOTE: append mode
+    * treats data below the watermark as LATE and drops it, so multi-file
+    * sources must be split time-ordered (bounded disorder — the watermark
+    * contract); a single file / single batch is always safe. */
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
       maxFilesPerTrigger: Int = 0,
-      batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
-    val eventsDir = stageDir(eventsPath)
-    val schema = spark.read.parquet(eventsDir).schema
+      batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      stateRowsMax: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val staged = stageAll(eventsPath)
     val out = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/data"))
     try {
-      val reader = spark.readStream.schema(schema)
-      val limited = if (maxFilesPerTrigger > 0)
-        reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
-      val q = limited.parquet(eventsDir)
       // parquet NTZ → LTZ for event-time semantics (session TZ is UTC, so
       // wall-clock values are unchanged); window start goes back to NTZ so
       // the output type matches the source column.
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
-      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
-        col("event_type"), col("n"), col("total_value"))
-      .writeStream.outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batchCounter.foreach(_.incrementAndGet())
-        batch.write.mode("overwrite").parquet(s"$out/agg")
-        ()
+      def aggStream(reader: org.apache.spark.sql.streaming.DataStreamReader): DataFrame =
+        reader.parquet(staged)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
+          .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"), col("total_value"))
+      val outSchema = aggStream(spark.readStream.schema(schema)).schema
+      // empty-source guard: zero micro-batches would leave no snapshot and
+      // no watermark to drain — return the (empty) typed result directly
+      if (spark.read.parquet(eventsPath).isEmpty)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+
+      def runOnce(): Unit = {
+        val reader = spark.readStream.schema(schema)
+        val limited = if (maxFilesPerTrigger > 0)
+          reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+        val q = aggStream(limited)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$out/chk")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batchCounter.foreach(_.incrementAndGet())
+            batch.write.mode("append").parquet(s"$out/data")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        stateRowsMax.foreach { m =>
+          q.recentProgress.foreach(p => p.stateOperators.foreach(so =>
+            m.getAndUpdate(cur => math.max(cur, so.numRowsTotal))))
+        }
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-      q.processAllAvailable()
-      q.stop()
-      // materialize (localCheckpoint is eager) so the staging dir can be removed
-      spark.read.parquet(s"$out/agg").localCheckpoint()
-    } finally graft.kg.Lineage.deleteRecursively(out) // also on query failure
+      // sentinel = the max-ts source row shifted +h hours with the reserved
+      // event_type; its own window end stays above the advanced watermark,
+      // and its group is filtered below, so it never pollutes the output
+      def writeSentinel(hours: Int): Unit =
+        spark.read.parquet(eventsPath).orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", (col("ts").cast("timestamp") +
+            expr(s"INTERVAL $hours HOURS")).cast(schema("ts").dataType))
+          .withColumn("event_type", lit(SentinelType))
+          .coalesce(1).write.mode("append").parquet(staged)
+
+      runOnce()                        // the data run (possibly rate-limited)
+      writeSentinel(3); runOnce()      // watermark → maxTs+2h: flushes all but trailing windows
+      writeSentinel(6); runOnce()      // watermark → maxTs+5h: flushes the trailing windows
+      // materialize (localCheckpoint is eager) so the staging dirs can be removed
+      spark.read.schema(outSchema).parquet(s"$out/data")
+        .filter(col("event_type") =!= SentinelType)
+        .localCheckpoint()
+    } finally {                        // also on query failure
+      graft.kg.Lineage.deleteRecursively(out)
+      graft.kg.Lineage.deleteRecursively(staged)
+    }
   }
 
   /** Stateful streaming dedup: dropDuplicates on a composite key with an
@@ -115,8 +170,8 @@ object Streaming {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop() // stop even on failure —
+      // otherwise the finally below deletes the staging dir under a live query
       if (batchCounter.isDefined) {
         // listener events are delivered asynchronously — wait (bounded) for
         // the count to stop moving before reading it
@@ -132,6 +187,29 @@ object Streaming {
       }
       spark.read.parquet(s"$out/data").localCheckpoint()
     } finally graft.kg.Lineage.deleteRecursively(out) // also on query failure
+  }
+
+  /** Stage the source's parquet files into a PRIVATE directory (symlinks),
+    * so drain-sentinel files can be appended without touching the source.
+    * Symlinks keep the target's mod-time, so sentinel files (real, newer)
+    * always sort after the data files in the file-stream source. */
+  private def stageAll(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempDirectory("stream_src")
+    val files =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { f =>
+            val n = f.getFileName.toString
+            java.nio.file.Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq
+        } finally s.close()
+      } else Seq(p)
+    files.foreach(f => java.nio.file.Files.createSymbolicLink(
+      tmp.resolve(f.getFileName), f.toAbsolutePath))
+    tmp.toString
   }
 
   /** Stage a single parquet FILE as a directory for the streaming source. */
@@ -164,8 +242,7 @@ object Streaming {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     results.toSeq
   }
 
@@ -200,8 +277,7 @@ object Streaming {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     // materialize (localCheckpoint is eager) so the staging dir can be
     // deleted instead of leaking one temp tree per invocation
     val result = graft.kg.Pipeline.dedupTriples(spark.read.parquet(s"$out/raw"))

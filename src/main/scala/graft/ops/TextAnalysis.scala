@@ -83,14 +83,25 @@ object TextAnalysis {
     * construction is replaced by the hash multiset, which loses only
     * span-boundary precision (positions, not intervals, are counted).
     * The span-digest table feeds BOTH the document-frequency aggregate and
-    * the join back, so it is materialized once (localCheckpoint here; at
-    * corpus scale a prior job writes it as a shared table, the SigCache
-    * contract) instead of re-running the 20-wide concat per consumer. */
-  def dupSpanStats(documents: DataFrame, n: Int = 20): DataFrame = {
-    val spans = documents
+    * the join back, so it follows the shared-signature-table contract of
+    * `Dedup.lshCandidatePairsFromSigs`: [[spanDigests]] is the write-once
+    * per-corpus table (SpanCache in the battery; a prior job's output at
+    * 100 TB — also the substrate for an exact-substring-INTERVAL operator),
+    * and [[dupSpanStatsFromSpans]] consumes it without re-running the
+    * n-wide shingle concat. */
+  def dupSpanStats(documents: DataFrame, n: Int = 20): DataFrame =
+    dupSpanStatsFromSpans(spanDigests(documents, n).localCheckpoint())
+
+  /** The (doc_id, span-md5) table for every `n`-token span position — one
+    * 16-byte digest per position, never span text. Write once per corpus,
+    * reuse across every duplicated-span consumer. */
+  def spanDigests(documents: DataFrame, n: Int = 20): DataFrame =
+    documents
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("span"))
       .select(col("doc_id"), md5(col("span")).as("sh"))
-      .localCheckpoint()
+
+  /** [[dupSpanStats]] over a PRECOMPUTED (materialized) span-digest table. */
+  def dupSpanStatsFromSpans(spans: DataFrame): DataFrame = {
     val docFreq = spans.distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
     spans.join(docFreq, Seq("sh"))

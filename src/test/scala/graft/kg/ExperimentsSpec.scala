@@ -217,8 +217,17 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(rows.map(_.relation) === Seq("no_relation", "per:employee_of", "per:spouse"))
     assert(rows.head === Reports.ReportRow("no_relation", "86.00%", "34.00%", "49.00%", "6191"))
     assert(rows(1).support === "12")
-    assertThrows[IllegalArgumentException](
-      Reports.parseSklearnReport("h1\nh2\nbad line with six extra fields here\nf1\nf2"))
+    // malformed body lines are skipped and counted, never thrown (P14
+    // contract): 3 candidate body lines here, none parseable as 5-field rows
+    val bad = new java.util.concurrent.atomic.LongAdder
+    assert(Reports.parseSklearnReport(
+      "h1\nh2\nbad line with six extra fields here\nf1 f2 x\nf2", Some(bad)).isEmpty)
+    assert(bad.sum() === 3L)
+    // numeric garbage in P/R/F1 is also a skip, not a crash
+    val bad2 = new java.util.concurrent.atomic.LongAdder
+    assert(Reports.parseSklearnReport(
+      "header\nrel NaNish 0.5 0.5 12\nfooter", Some(bad2)).isEmpty)
+    assert(bad2.sum() === 1L)
   }
 
   test("parse_gabor_report: brackets stripped, values verbatim") {

@@ -225,27 +225,50 @@ class PipelineSpec extends AnyFunSuite {
     } finally Lineage.deleteRecursively(dir)
   }
 
-  test("rate-limited windowed agg: snapshot overwrite across micro-batches " +
-      "equals the batch aggregation") {
+  test("rate-limited windowed agg: append-mode watermark eviction across " +
+      "micro-batches equals the batch aggregation with BOUNDED state") {
     import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("graft-stream-win-multibatch").toString
     try {
-      // events spread over 5 files: each micro-batch sees a PARTIAL hour,
-      // so the final snapshot is correct only if the complete-mode state
-      // (not just the last batch's rows) reaches the overwrite
+      // time-ordered 5-file split (bounded disorder — the watermark
+      // contract): each file covers a contiguous ts range; strictly
+      // increasing mod-times make the file source replay the stream in
+      // event-time order, so append mode's late-data rule drops nothing
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .repartition(5).write.mode("overwrite").parquet(dir)
+        .repartitionByRange(5, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(dir)
+      val parts = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try s.iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally s.close()
+      }
+      assert(parts.size == 5)
+      val base = java.nio.file.Files.getLastModifiedTime(parts.head).toMillis
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      }
       val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxState = new java.util.concurrent.atomic.AtomicLong(0)
       val streamed = graft.ops.Streaming.windowedEventCounts(spark, dir,
-        maxFilesPerTrigger = 1, batchCounter = Some(batches))
+        maxFilesPerTrigger = 1, batchCounter = Some(batches),
+        stateRowsMax = Some(maxState))
         .collect().map(r => (r.get(0).toString + "/" + r.getString(1), r.getLong(2))).toMap
       assert(batches.get() >= 3,
-        s"rate limit must force multiple snapshot writes, got ${batches.get()}")
+        s"rate limit must force multiple micro-batches, got ${batches.get()}")
       val exact = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => (r.get(0).toString + "/" + r.getString(1), r.getLong(2))).toMap
       assert(streamed === exact)
+      // the point of append mode: finalized windows are EVICTED, so peak
+      // state is far below the total window count (complete mode would
+      // retain every window ever opened = exact.size rows at the end)
+      assert(maxState.get() > 0, "state metrics must be observed")
+      assert(maxState.get() < exact.size / 2,
+        s"state must stay bounded by eviction: peak ${maxState.get()} vs ${exact.size} total windows")
     } finally Lineage.deleteRecursively(dir)
   }
 

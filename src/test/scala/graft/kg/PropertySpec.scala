@@ -152,4 +152,39 @@ class PropertySpec extends AnyFunSuite {
       assert(TextExtract.extract(once.getBytes("UTF-8")) === once)
     }
   }
+
+  test("report parsers never throw on arbitrary/truncated text (fuzz, seeded)") {
+    // mirrors the container fuzz contract (MultimodalSpec): random payloads
+    // + random-corrupted VALID reports must skip-and-count, never throw
+    val rng = new java.util.Random(8484L)
+    val printable = (32 to 126).map(_.toChar) ++ Seq('\n', '\t', '\n', '\n')
+    def randText(): String =
+      Array.fill(rng.nextInt(300))(printable(rng.nextInt(printable.length))).mkString
+    (1 to 300).foreach { _ =>
+      val t = randText()
+      val bad = new java.util.concurrent.atomic.LongAdder
+      Reports.parseSklearnReport(t, Some(bad))
+      Reports.parseGaborReport(t, Some(bad))
+    }
+    // corrupted valid reports: truncate at a random offset and flip chars
+    val valids = Seq(graft.SampleReports.sklearn, graft.SampleReports.gabor)
+    (1 to 300).foreach { _ =>
+      val base = valids(rng.nextInt(valids.length))
+      val cut = base.substring(0, rng.nextInt(base.length + 1)).toCharArray
+      (0 to rng.nextInt(4)).foreach { _ =>
+        if (cut.nonEmpty)
+          cut(rng.nextInt(cut.length)) = printable(rng.nextInt(printable.length))
+      }
+      val t = new String(cut)
+      Reports.parseSklearnReport(t)
+      Reports.parseGaborReport(t)
+    }
+    // the counting itself: a valid report inside garbage parses its rows
+    // and counts exactly the garbage lines
+    val bad = new java.util.concurrent.atomic.LongAdder
+    val rows = Reports.parseGaborReport(
+      "garbage here\n" + graft.SampleReports.gabor + "\ntrailing junk", Some(bad))
+    assert(rows.nonEmpty)
+    assert(bad.sum() === 2L)
+  }
 }

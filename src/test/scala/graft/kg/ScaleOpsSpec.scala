@@ -144,18 +144,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     // doc 1: mx=1.0, codes = round([0.5,-1,0.25,0]*127) = [64,-127,32,0]
     assert(got(1L)._2 === -31L) // q_sum = 64 - 127 + 32 + 0
     assert(got(1L)._3 === -127L && got(1L)._4 === 64L)
-    assert(math.abs(got(1L)._1 - 1.0 / 127.0) < 1e-9)
-    // zero vector: scale 0, all-zero code
+    assert(got(1L)._1 === 1.0) // amax is exact
+    // zero vector: zero amax, all-zero code
     assert(got(2L) === ((0.0, 0L, 0L, 0L)))
     // constant vector: every code saturates at 127 exactly
     assert(got(3L)._2 === 4 * 127L && got(3L)._3 === 127L && got(3L)._4 === 127L)
-    assert(math.abs(got(3L)._1 - 2.0 / 127.0) < 1e-9)
+    assert(got(3L)._1 === 2.0)
     // dequantization error bound over a real slice: |v - q*scale| <= scale/2
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
     val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     graft.ops.Similarity.quantizeInt8(emb)
-      .select(col("vec_id"), col("scale")).collect().foreach { r =>
+      .select(col("vec_id"), col("amax")).collect().foreach { r =>
         val v = rows(r.getLong(0))
         val mx = v.map(math.abs).max
         if (mx > 0) {
@@ -164,7 +164,7 @@ class ScaleOpsSpec extends AnyFunSuite {
             val q = math.rint(x * 127.0 / mx)
             assert(math.abs(x - q * scale) <= scale / 2 + 1e-12)
           }
-          assert(math.abs(r.getDouble(1) - scale) < 1e-9 + 1e-12)
+          assert(r.getDouble(1) === mx) // amax is the exact max-abs double
         }
       }
   }
@@ -173,9 +173,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     import graft.ops.Similarity.{nlistForCorpus, nprobeForNlist}
     assert(nlistForCorpus(0L) === 8)            // floor
     assert(nlistForCorpus(64L) === 8)           // √64 = floor boundary
-    assert(nlistForCorpus(499L) === 23)         // sf0.001 embeddings (vec 0 excluded)
-    assert(nlistForCorpus(1999L) === 45)        // sf0.1
-    assert(nlistForCorpus(1000000L) === 1000)
+    assert(nlistForCorpus(499L) === 8)          // population term: 499/256 < 8
+    assert(nlistForCorpus(1999L) === 8)         // sf0.1: √n=45 clamped to 8 (lists ≥ ~256 vecs)
+    assert(nlistForCorpus(20000L) === 78)       // √n=142 vs n/256=78 — population-bound
+    assert(nlistForCorpus(65536L) === 256)      // crossover: population term = √n
+    assert(nlistForCorpus(1000000L) === 1000)   // at scale: pure √n
     assert(nlistForCorpus(Long.MaxValue / 4) === 65536) // ceiling
     assert(nprobeForNlist(8) === 2)             // probe floor
     assert(nprobeForNlist(45) === 5)            // 12.5 % of lists

@@ -75,6 +75,28 @@ class StageSpec extends AnyFunSuite {
     assert(got(0).relation === Some("per:employee_of")) // S4 relation map
   }
 
+  test("stage readers never abort on arbitrary/truncated rows (fuzz, seeded)") {
+    // mirrors the container/report-parser fuzz contract: every source
+    // reader must skip-and-count garbage (P14), never fail the job. Random
+    // printable lines with tab/bracket/brace structure sprinkled in so some
+    // rows reach deep into the Adaptors decode kernels before failing.
+    val rng = new java.util.Random(515151L)
+    val alphabet = "abc01[]{},:\\.%\t\"'-_ INVALID" + "é"
+    def randLine(): String =
+      Array.fill(rng.nextInt(200))(alphabet(rng.nextInt(alphabet.length))).mkString
+    val lines = Seq.fill(120)(randLine()).filter(_.trim.nonEmpty)
+    val path = writeLines("fuzz_rows.tsv", lines)
+    Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.Dataset[SentenceExample])](
+      ("s1", s => Sources.readSupervisedCsv(s, path)),
+      ("s2", s => Sources.readKbpTsv(s, path)),
+      ("s3", s => Sources.readKbpEvaluationTsv(s, path)),
+      ("s4", s => Sources.readSelfTrainingTsv(s, path))
+    ).foreach { case (name, rd) =>
+      val n = rd(spark).count() // must complete without aborting
+      assert(n >= 0, s"$name reader must survive arbitrary input")
+    }
+  }
+
   test("M5 corruption: deterministic, relabels no_relation, drops one position") {
     val feat = Featurized(Seq(5, 6, 7, 8), 1, 2, Some(3), 0, 2, 4, "s", "o", "PERSON", "O")
     val c1 = FeaturizeStage.corruptOne(feat, noRelationId = 0, seed = 99L)

@@ -70,6 +70,19 @@ object SparkEntry {
     def spans(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
   }
 
+  /** Fixed scratch root for ORACLE FIXTURE tables. The LSTM pipeline itself
+    * is not SQL-expressible, but its RELATIONAL TAIL (entity-link join,
+    * triple dedup, error aggregation) is: the battery query materializes its
+    * deterministic upstream input here as parquet, consumes the READ-BACK
+    * (so both engines see identical bytes), and the DuckDB oracle reads the
+    * same table by absolute path — upgrading those queries from content-pin
+    * to full rows+schema+hash oracle checks. The LSTM content itself stays
+    * pinned in GoldenQuerySpec; this checks the join/agg semantics on top. */
+  val OracleFixtureDir: String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+    s"$tmp/graft_oracle_fixtures"
+  }
+
   /** IVF centroids computed ONCE per (session, dir) — the coarse-quantizer
     * table is an index-build artifact shared by every consumer (one-shot
     * search AND index write), mirroring [[SigCache]]'s at-scale contract.
@@ -116,16 +129,66 @@ object SparkEntry {
           .localCheckpoint() // materialize so the staging table can be removed
       } finally graft.kg.Lineage.deleteRecursively(outDir)
     }),
-    "kg_salted_link" -> ((s, _) =>
-      Pipeline.extractTriples(s, Pipeline.generatePages(s, 120L), salted = true)),
+    // J5 salted-link + A9 dedup with a HARD oracle on the relational tail:
+    // the deterministic scored pairs (pre-link) and the entity dict are
+    // frozen to OracleFixtureDir, the Spark side links+dedups the READ-BACK,
+    // and DuckDB recomputes the same join+aggregate over the same bytes.
+    // Output is identical to extractTriples(salted = true) (pin unchanged).
+    "kg_salted_link" -> ((s, _) => {
+      import s.implicits._
+      val fix = OracleFixtureDir
+      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      Pipeline.scorePages(s, Pipeline.generatePages(s, 120L), bundleBc)
+        .toDF().write.mode("overwrite").parquet(s"$fix/scored_120.parquet")
+      Pipeline.entityDict(s).write.mode("overwrite").parquet(s"$fix/entity_dict.parquet")
+      val back = s.read.parquet(s"$fix/scored_120.parquet").as[graft.kg.ScoredPair]
+      Pipeline.dedupTriples(Pipeline.linkSalted(back, Pipeline.entityDict(s)))
+    }),
 
-    // A7 native form: error rate by featurized-sequence length on the eval split
+    // S6 end to end: Senna-format pretrained embeddings (fixture words.lst/
+    // embeddings.txt, deterministic vectors) preloaded into the embedding
+    // table, round-tripped through a SAVED+RELOADED experiment (S9 deploy
+    // contract), then the full extraction pipeline scored with it. The
+    // output differs from kg_flagship precisely because the preloaded rows
+    // overwrite the fixture init — the content pin attests the side input
+    // is live in the scoring path.
+    "kg_senna_score" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-senna-battery").toString
+      try {
+        val bundle = Pipeline.buildBundle()
+        val dim = bundle.weights.embDim
+        // every 7th vocab word (cap 60): hits real corpus tokens without
+        // replacing the whole table
+        val words = bundle.word.index2word.zipWithIndex
+          .filter(_._2 % 7 == 3).map(_._1).take(60)
+        val embText = words.indices.map { i =>
+          (0 until dim).map(d => f"${(((i * dim + d) % 13) - 6) * 0.05}%.2f").mkString(" ")
+        }.mkString("\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/words.lst"), words.mkString("\n"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/embeddings.txt"), embText)
+        val preloaded = bundle.copy(weights = graft.kg.Pretrain.loadAndPreload(
+          bundle.weights, bundle.word, s"$dir/words.lst", s"$dir/embeddings.txt"))
+        graft.kg.Experiments.save(dir, "senna", preloaded, preloaded.weights)
+        val deployed = graft.kg.Experiments.load(dir, "senna")
+        Pipeline.extractTriples(s, Pipeline.generatePages(s, 120L),
+          bundle = Some(deployed)).localCheckpoint()
+      } finally graft.kg.Lineage.deleteRecursively(dir)
+    }),
+
+    // A7 native form: error rate by featurized-sequence length on the eval
+    // split — scored table frozen to OracleFixtureDir so the groupBy tail
+    // is oracle-checked (the LSTM scoring stays content-pinned)
     "kg_error_by_length" -> ((s, _) => {
       import s.implicits._
       val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
       val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
+      graft.kg.Evaluate.scoreExamples(s, examples, bundleBc).toDF()
+        .select(col("id"), col("length"), col("pred"), col("targ"))
+        .write.mode("overwrite").parquet(s"$OracleFixtureDir/scored_eval.parquet")
       graft.kg.Evaluate.errorByLength(
-        graft.kg.Evaluate.scoreExamples(s, examples, bundleBc).toDF())
+        s.read.parquet(s"$OracleFixtureDir/scored_eval.parquet"))
     }),
 
     // per-example error-analysis dump (analyze_errors.py print_example):
@@ -741,8 +804,11 @@ object SparkEntry {
         Pipeline.generatePages(s, 100, withText = true)
           .write.mode("overwrite").parquet(pagesDir)
         // the stream runs synchronously (AvailableNow) and the result is
-        // materialized inside streamingKgTriples — safe to clean up
-        Streaming.streamingKgTriples(s, pagesDir, Pipeline.buildBundle())
+        // materialized inside streamingKgTriples — safe to clean up. The
+        // raw append-only triple table lands in OracleFixtureDir so the
+        // compaction/dedup stage is oracle-checked over the same bytes.
+        Streaming.streamingKgTriples(s, pagesDir, Pipeline.buildBundle(),
+          rawOut = Some(s"$OracleFixtureDir/stream_kg"))
       } finally graft.kg.Lineage.deleteRecursively(pagesDir)
     }),
 
@@ -947,6 +1013,41 @@ object SparkEntry {
            FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    // ---- kg relational tail over OracleFixtureDir fixtures --------------------
+    // the battery query froze its deterministic upstream table (and reads it
+    // back itself), so DuckDB recomputes the join/agg over identical bytes
+
+    // J5 link (salt is an implementation detail of the shuffle — the result
+    // is the plain equi-join) + A9 dedup
+    "kg_salted_link" ->
+      s"""WITH scored AS (SELECT * FROM '$OracleFixtureDir/scored_120.parquet/*.parquet'),
+         dict AS (SELECT * FROM '$OracleFixtureDir/entity_dict.parquet/*.parquet'),
+         linked AS (
+           SELECT sd.entityId AS subject_id, sc.relation, od.entityId AS object_id,
+                  sc.confidence
+           FROM scored sc
+           JOIN dict sd ON sc.subjectSurface = sd.surface AND sc.subjectNer = sd.ner
+           JOIN dict od ON sc.objectSurface = od.surface AND sc.objectNer = od.ner)
+         SELECT subject_id, relation, object_id, MAX(confidence) AS confidence,
+           COUNT(*) AS support
+         FROM linked GROUP BY 1, 2, 3""",
+
+    // A7 native: per-length error aggregation over the frozen scored split
+    "kg_error_by_length" ->
+      s"""SELECT "length", COUNT(*) AS cnt,
+           CAST(SUM(CASE WHEN pred <> targ THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+           CAST(CAST(SUM(CASE WHEN pred <> targ THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / COUNT(*) AS error_rate
+         FROM '$OracleFixtureDir/scored_eval.parquet/*.parquet' GROUP BY "length"""",
+
+    // B2/A9: the streaming pipeline's compaction — dedup over the raw
+    // append-only triple table the stream produced
+    "kg_stream_triples" ->
+      s"""SELECT subject_id, relation, object_id, MAX(confidence) AS confidence,
+           COUNT(*) AS support
+         FROM '$OracleFixtureDir/stream_kg/raw/*.parquet' GROUP BY 1, 2, 3""",
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -257,9 +257,14 @@ object Streaming {
   def streamingKgTriples(spark: SparkSession, pagesDir: String,
       bundle: graft.kg.Pipeline.ScoringBundle,
       maxFilesPerTrigger: Int = 0,
-      batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+      batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      rawOut: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-kg").toString
+    // rawOut keeps the raw append-only triple table at a caller-fixed path
+    // (fresh per run — the sink appends) so the compaction/dedup stage can
+    // be oracle-checked over the identical bytes; None = private temp dir
+    val out = rawOut.getOrElse(java.nio.file.Files.createTempDirectory("graft-stream-kg").toString)
+    if (rawOut.isDefined) graft.kg.Lineage.deleteRecursively(out)
     val schema = spark.read.parquet(pagesDir).schema
     val bundleBc = spark.sparkContext.broadcast(bundle)
     val dict = graft.kg.Pipeline.entityDict(spark)
@@ -282,7 +287,7 @@ object Streaming {
     // deleted instead of leaking one temp tree per invocation
     val result = graft.kg.Pipeline.dedupTriples(spark.read.parquet(s"$out/raw"))
       .localCheckpoint()
-    graft.kg.Lineage.deleteRecursively(out)
+    if (rawOut.isEmpty) graft.kg.Lineage.deleteRecursively(out)
     result
   }
 }

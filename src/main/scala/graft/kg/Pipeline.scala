@@ -278,17 +278,29 @@ object Pipeline {
    * bucket granularity; stage 2 (dedup + graph materialize — the one wide
    * shuffle) reruns over the full raw-triple table, which is tiny relative
    * to the page corpus.
+   *
+   * `maxBucketsPerRun` bounds how many uncommitted buckets ONE invocation
+   * processes (the incremental-commit production knob; also how
+   * ResumeProbe simulates a mid-job crash: process half, die, resume). A
+   * PARTIAL run commits its buckets to the lineage log and returns with
+   * `triples = nodes = -1` WITHOUT materializing a graph snapshot — the
+   * graph is only published when stage 1 is complete, so readers never see
+   * a half-corpus graph. The next invocation sees the committed buckets in
+   * the lineage log, prunes them from the page scan, and processes only
+   * the remainder.
    */
   def runCheckpointed(spark: SparkSession, pages: Dataset[Page], outDir: String,
       buckets: Int = 32, salted: Boolean = false, seed: Long = 42L,
-      bundle: Option[ScoringBundle] = None): RunReport = {
+      bundle: Option[ScoringBundle] = None,
+      maxBucketsPerRun: Int = Int.MaxValue): RunReport = {
     import spark.implicits._
     val bundleBc = spark.sparkContext.broadcast(bundle.getOrElse(buildBundle(seed)))
     val errorAcc = spark.sparkContext.longAccumulator("featurize_errors_total")
 
     val done = Lineage.doneBuckets(outDir, "triples_raw")
     val withBucket = pages.withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
-    val remainingBuckets = (0 until buckets).filterNot(done)
+    val remainingBuckets = (0 until buckets).filterNot(done).take(math.max(1, maxBucketsPerRun))
+    val leftOver = (0 until buckets).filterNot(done).drop(math.max(1, maxBucketsPerRun))
 
     if (remainingBuckets.nonEmpty) {
       val remaining = withBucket
@@ -308,6 +320,8 @@ object Pipeline {
       Lineage.append(outDir, "triples_raw",
         remainingBuckets.map(bkt => Lineage.BucketRecord(bkt, written.getOrElse(bkt, 0L), 0L)))
     }
+    if (leftOver.nonEmpty) // partial run: buckets committed, graph deferred
+      return RunReport(remainingBuckets, done.toSeq.sorted, -1L, -1L, errorAcc.value)
 
     val raw = spark.read.parquet(s"$outDir/triples_raw")
     // graph materialize: copy-on-write snapshot commit — data files land in

@@ -98,7 +98,18 @@ object Sf1Probe {
       "ann_pairs_auto" -> (() => Similarity.annCandidatePairsAuto(embs, 0.3,
         targetBucketSize = 1000, droppedAcc = Some(accs("ann_auto_dropped"))).count()),
       "ann_knn_auto" -> (() => Similarity.annTopKJoin(embs, k = 1, minCosine = 0.2,
-        planesPerBand = Similarity.planesForCorpus(nEmbs, 1000)).count()))
+        planesPerBand = Similarity.planesForCorpus(nEmbs, 1000)).count()),
+      // the IVF family at auto nlist: exercises BOTH regimes of the
+      // min-population rule (population-bound below 65536 vectors, √n
+      // above) — full deterministic Lloyd build + probe-pruned top-k
+      "ivf_topk_auto" -> (() => {
+        val q = embs.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val rest = embs.filter(col("vec_id") =!= 0)
+        val nlist = Similarity.nlistForCorpus(nEmbs - 1)
+        Similarity.ivfCosineTopK(rest, q, k = 10, nlist = nlist,
+          nprobe = Similarity.nprobeForNlist(nlist)).count()
+      }))
 
     // each accumulator is driven by exactly one op; its value is SNAPSHOT
     // right after that op's trials (the last trial's count — the reset

@@ -70,6 +70,30 @@ class PipelineSpec extends AnyFunSuite {
     } finally Lineage.deleteRecursively(dir)
   }
 
+  test("maxBucketsPerRun: partial run commits buckets but defers the graph; " +
+      "resume completes bit-identically") {
+    val dir = Files.createTempDirectory("graft-partial-knob").toString
+    val fullDir = Files.createTempDirectory("graft-full-knob").toString
+    try {
+      val pages = Pipeline.generatePages(spark, 60)
+      val full = Pipeline.runCheckpointed(spark, pages, fullDir, buckets = 8)
+      // "crash" after half the buckets commit
+      val half = Pipeline.runCheckpointed(spark, pages, dir, buckets = 8, maxBucketsPerRun = 4)
+      assert(half.bucketsProcessed.size === 4)
+      assert(half.triples === -1L && half.nodes === -1L,
+        "partial run must not publish a graph snapshot")
+      assert(Lineage.snapshots(dir, "edges").isEmpty)
+      // restart: exactly the remainder runs, final graph equals uninterrupted
+      val resumed = Pipeline.runCheckpointed(spark, pages, dir, buckets = 8)
+      assert(resumed.bucketsSkipped.toSet === half.bucketsProcessed.toSet)
+      assert(resumed.bucketsProcessed.toSet ===
+        (0 until 8).toSet -- half.bucketsProcessed.toSet)
+      assert(resumed.triples === full.triples)
+      assert(tripleSet(Lineage.readTable(spark, dir, "edges")) ===
+        tripleSet(Lineage.readTable(spark, fullDir, "edges")))
+    } finally { Lineage.deleteRecursively(dir); Lineage.deleteRecursively(fullDir) }
+  }
+
   test("checkpointed run resumes after partial failure: only missing buckets rerun") {
     val dir = Files.createTempDirectory("graft-partial").toString
     val fullDir = Files.createTempDirectory("graft-full").toString

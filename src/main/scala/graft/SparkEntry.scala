@@ -636,6 +636,9 @@ object SparkEntry {
     // exact substring dedup — per-doc fraction of span positions whose
     // span recurs verbatim in another document
     "q_dup_spans" -> ((s, dir) => TextAnalysis.dupSpanStatsFromSpans(SpanCache.spans(s, dir))),
+    // maximal duplicated-token INTERVALS (the ranges exact-substring dedup
+    // would cut) — gaps-and-islands over the same shared span table
+    "q_dup_intervals" -> ((s, dir) => TextAnalysis.dupSpanIntervals(SpanCache.spans(s, dir))),
     // PII redaction over a deterministically PII-spiked corpus (the
     // synthetic docs carry no emails/phones, so the query injects one of
     // each — derived from doc_id — and the oracle replicates the spike)
@@ -1340,6 +1343,23 @@ object SparkEntry {
            CAST(dup_spans AS BIGINT) AS dup_spans,
            CAST(dup_spans AS DOUBLE) / n_spans AS dup_frac
          FROM agg""",
+
+    // maximal duplicated intervals: duplicated span-start positions →
+    // gaps-and-islands (pos - row_number constant within a run); interval
+    // covers tokens [start_pos, max pos + 19]
+    "q_dup_intervals" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 19)) AS i FROM d),
+         sp AS (SELECT doc_id, i - 1 AS pos,
+                  md5(list_aggregate(t[i:i+19], 'string_agg', ' ')) AS sh FROM ix),
+         df AS (SELECT sh, COUNT(DISTINCT doc_id) AS n_docs FROM sp GROUP BY sh),
+         dup AS (SELECT doc_id, pos FROM sp JOIN df USING (sh) WHERE n_docs > 1),
+         g AS (SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM dup)
+         SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 19 AS end_pos,
+           COUNT(*) AS n_positions
+         FROM g GROUP BY doc_id, grp""",
 
     "q_pii_redact" ->
       """WITH spiked AS (SELECT doc_id,

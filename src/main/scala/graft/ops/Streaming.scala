@@ -36,13 +36,16 @@ object Streaming {
     *
     * Drain: a bounded batch run ends with the last ~2 windows still open
     * (watermark = maxTs − 1 h never passes them), so after the data run we
-    * perform the standard drain-flush — append a far-future sentinel row
-    * (reserved [[SentinelType]]) and resume from the same checkpoint so the
-    * watermark jumps past every real window end and flushes them. Two
-    * sentinel rounds (+3 h, +6 h) because eviction in batch k uses the
-    * watermark computed from batches < k. Sentinel groups are filtered from
-    * the read-back; under AvailableNow the final table equals the batch
-    * aggregation exactly, so the DuckDB oracle is unchanged.
+    * perform the standard drain-flush — append two far-future sentinel
+    * rows (reserved [[SentinelType]], +3 h and +6 h) and resume ONCE from
+    * the same checkpoint with `maxFilesPerTrigger = 1`, so each sentinel
+    * file is its own micro-batch (strictly increasing mod-times order
+    * them). Two sentinel batches because eviction in batch k uses the
+    * watermark computed from batches < k: the +3 h batch advances the
+    * watermark past every real window end, the +6 h batch evicts under it.
+    * Sentinel groups are filtered from the read-back; under AvailableNow
+    * the final table equals the batch aggregation exactly, so the DuckDB
+    * oracle is unchanged.
     *
     * `maxFilesPerTrigger > 0` rate-limits the source so AvailableNow runs
     * REAL multi-micro-batch execution (append-mode state must carry across
@@ -58,6 +61,11 @@ object Streaming {
       stateRowsMax: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     val staged = stageAll(eventsPath)
+    val nDataFiles = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.size }
+      finally s.close()
+    }
     val out = java.nio.file.Files.createTempDirectory("graft-stream-win").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/data"))
     try {
@@ -73,15 +81,18 @@ object Streaming {
           .select(col("w.start").cast("timestamp_ntz").as("window_start"),
             col("event_type"), col("n"), col("total_value"))
       val outSchema = aggStream(spark.readStream.schema(schema)).schema
-      // empty-source guard: zero micro-batches would leave no snapshot and
-      // no watermark to drain — return the (empty) typed result directly
-      if (spark.read.parquet(eventsPath).isEmpty)
+      // max-ts anchor row (one narrow scan — also the empty-source guard:
+      // zero micro-batches would leave no snapshot and no watermark to
+      // drain, so return the empty typed result directly)
+      val anchor = spark.read.parquet(eventsPath).orderBy(col("ts").desc).limit(1)
+        .localCheckpoint()
+      if (anchor.isEmpty)
         return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
-      def runOnce(): Unit = {
+      def runOnce(filesPerTrigger: Int): Unit = {
         val reader = spark.readStream.schema(schema)
-        val limited = if (maxFilesPerTrigger > 0)
-          reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+        val limited = if (filesPerTrigger > 0)
+          reader.option("maxFilesPerTrigger", filesPerTrigger) else reader
         val q = aggStream(limited)
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$out/chk")
@@ -98,19 +109,44 @@ object Streaming {
             m.getAndUpdate(cur => math.max(cur, so.numRowsTotal))))
         }
       }
-      // sentinel = the max-ts source row shifted +h hours with the reserved
+      // sentinel = the anchor row shifted +h hours with the reserved
       // event_type; its own window end stays above the advanced watermark,
-      // and its group is filtered below, so it never pollutes the output
-      def writeSentinel(hours: Int): Unit =
-        spark.read.parquet(eventsPath).orderBy(col("ts").desc).limit(1)
+      // and its group is filtered below, so it never pollutes the output.
+      // Each sentinel is one file with a CONTROLLED mod-time so the drain
+      // run replays them oldest-first as separate rate-limited batches.
+      def writeSentinel(hours: Int, mtimeMillis: Long): Unit = {
+        def listing() = {
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+          try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSet }
+          finally s.close()
+        }
+        val before = listing()
+        anchor
           .withColumn("ts", (col("ts").cast("timestamp") +
             expr(s"INTERVAL $hours HOURS")).cast(schema("ts").dataType))
           .withColumn("event_type", lit(SentinelType))
           .coalesce(1).write.mode("append").parquet(staged)
+        (listing() -- before).foreach(p => java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(mtimeMillis)))
+      }
 
-      runOnce()                        // the data run (possibly rate-limited)
-      writeSentinel(3); runOnce()      // watermark → maxTs+2h: flushes all but trailing windows
-      writeSentinel(6); runOnce()      // watermark → maxTs+5h: flushes the trailing windows
+      val drainBase = System.currentTimeMillis() + 60000 // after every data file
+      // With one data file (or an explicit per-file rate limit, where
+      // per-file batching is already the contract), the sentinels can ride
+      // the SAME query lifecycle: rate limit 1 + mod-time order gives
+      // data-batch(es) → s1 batch → s2 batch in one run. Otherwise the
+      // data runs unrestricted first and one rate-limited resume lifecycle
+      // drains (two batches, one per sentinel).
+      if (nDataFiles == 1 || maxFilesPerTrigger == 1) {
+        writeSentinel(3, drainBase)
+        writeSentinel(6, drainBase + 60000)
+        runOnce(1)
+      } else {
+        runOnce(maxFilesPerTrigger)    // the data run (single batch)
+        writeSentinel(3, drainBase)    // drain batch 1: watermark → maxTs+2h
+        writeSentinel(6, drainBase + 60000) // drain batch 2: flushes trailing windows
+        runOnce(1)
+      }
       // materialize (localCheckpoint is eager) so the staging dirs can be removed
       spark.read.schema(outSchema).parquet(s"$out/data")
         .filter(col("event_type") =!= SentinelType)

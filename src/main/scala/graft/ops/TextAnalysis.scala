@@ -92,23 +92,53 @@ object TextAnalysis {
   def dupSpanStats(documents: DataFrame, n: Int = 20): DataFrame =
     dupSpanStatsFromSpans(spanDigests(documents, n).localCheckpoint())
 
-  /** The (doc_id, span-md5) table for every `n`-token span position — one
-    * 16-byte digest per position, never span text. Write once per corpus,
-    * reuse across every duplicated-span consumer. */
+  /** The POSITIONAL (doc_id, pos, span-md5) table for every `n`-token span
+    * start position — one 16-byte digest per position, never span text.
+    * Write once per corpus, reuse across every duplicated-span consumer
+    * ([[dupSpanStatsFromSpans]] drops `pos`; [[dupSpanIntervals]] needs it). */
   def spanDigests(documents: DataFrame, n: Int = 20): DataFrame =
     documents
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("span"))
-      .select(col("doc_id"), md5(col("span")).as("sh"))
+      .select(col("doc_id"),
+        posexplode(Dedup.shingles(col("text"), n)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), md5(col("span")).as("sh"))
 
   /** [[dupSpanStats]] over a PRECOMPUTED (materialized) span-digest table. */
   def dupSpanStatsFromSpans(spans: DataFrame): DataFrame = {
-    val docFreq = spans.distinct()
+    val ds = spans.select(col("doc_id"), col("sh"))
+    val docFreq = ds.distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
-    spans.join(docFreq, Seq("sh"))
+    ds.join(docFreq, Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("dup_spans"))
       .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
+  /** Maximal duplicated-span INTERVALS — the exact-substring-dedup signal
+    * in the interval form Lee et al. act on (cut/penalize the exact token
+    * RANGES that recur verbatim elsewhere in the corpus, not just a
+    * per-document fraction). A position is duplicated when its `n`-token
+    * span digest occurs in more than one document; a maximal run of
+    * consecutive duplicated positions [p, q] covers tokens [p, q + n − 1].
+    *
+    * Scale shape: document frequency over the shared span-digest table
+    * (map-side partial agg), a linear join back, then ONE window shuffle
+    * keyed by doc_id for the classic gaps-and-islands grouping
+    * (pos − row_number is constant within a consecutive run). No quadratic
+    * stage, no per-doc buffers beyond the window sort. */
+  def dupSpanIntervals(spans: DataFrame, n: Int = 20): DataFrame = {
+    val docFreq = spans.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+    val dup = spans.join(docFreq, Seq("sh")).filter(col("n_docs") > 1)
+      .select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("end_pos"),
+        count(lit(1)).as("n_positions"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"), col("n_positions"))
   }
 
   /** Canonical document fingerprint: md5 of the sorted distinct token set —

@@ -140,6 +140,34 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("dupSpanIntervals: maximal consecutive duplicated runs, correct " +
+      "token coverage, separate runs stay separate") {
+    val run = (1 to 25).map(i => s"tok$i").mkString(" ")   // 25 shared tokens
+    val run2 = (1 to 22).map(i => s"dup$i").mkString(" ")  // 22 shared tokens
+    val dd = docs(
+      (1L, s"$run alpha beta gamma", "en"),                // run at HEAD
+      (2L, s"prefix words here $run", "en"),               // run at TAIL
+      // doc 5/6 share run2 → doc 5 has TWO separate duplicated regions
+      (5L, s"$run2 " + (1 to 10).map(i => s"mid$i").mkString(" ") + s" $run", "en"),
+      (6L, s"$run2 tail filler words", "en"),
+      (3L, (1 to 30).map(i => s"uniq$i").mkString(" "), "en"))
+    val got = graft.ops.TextAnalysis.dupSpanIntervals(
+      graft.ops.TextAnalysis.spanDigests(dd)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1: span starts 0..5 duplicated (25-20+1=6) → interval [0, 24]
+    // doc 2: 3 prefix tokens → starts 3..8 → interval [3, 27]
+    // doc 5 (57 tokens): run2 at 0..21 → starts 0..2 dup (22-20+1=3),
+    //   interval [0, 21]; run at 32..56 → starts 32..37, interval [32, 56];
+    //   the mid tokens break the runs into TWO intervals
+    // doc 3: no duplicated positions → absent
+    assert(got === Set(
+      (1L, 0L, 24L, 6L),
+      (2L, 3L, 27L, 6L),
+      (5L, 0L, 21L, 3L),
+      (5L, 32L, 56L, 6L),
+      (6L, 0L, 21L, 3L))) // 25 tokens: starts 0..2 inside run2 → [0, 21]
+  }
+
   test("mixture sampling: deterministic, per-group rates, absent groups dropped") {
     val many = docs((1L to 400L).map(i => (i, s"doc number $i payload", if (i % 2 == 0) "en" else "fr")): _*)
     val sampled = graft.ops.TextAnalysis.mixtureSample(many,

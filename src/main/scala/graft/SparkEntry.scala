@@ -212,7 +212,10 @@ object SparkEntry {
 
     // pred.py-style evaluation: per-relation P/R report over a labeled
     // split, scored from a SAVED+RELOADED experiment directory — the S9
-    // deploy contract (kbp.py:38-45); the round trip is bit-exact.
+    // deploy contract (kbp.py:38-45); the round trip is bit-exact. The
+    // scored (pred, targ) table freezes to OracleFixtureDir so the A8
+    // aggregation tail (full-outer per-relation join + ratios) is
+    // oracle-checked; the LSTM scoring stays pinned via kg_flagship et al.
     "kg_eval_report" -> ((s, _) => {
       import s.implicits._
       val bundle = Pipeline.buildBundle()
@@ -224,7 +227,11 @@ object SparkEntry {
         s.sparkContext.broadcast(graft.kg.Experiments.load(root, "deploy"))
       } finally graft.kg.Lineage.deleteRecursively(root)
       val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
-      graft.kg.Evaluate.run(s, examples, bundleBc).perRelation
+      graft.kg.Evaluate.scoreExamples(s, examples, bundleBc).toDF()
+        .select(col("id"), col("pred"), col("targ"))
+        .write.mode("overwrite").parquet(s"$OracleFixtureDir/scored_eval_deploy.parquet")
+      graft.kg.Metrics.perRelationReport(
+        s.read.parquet(s"$OracleFixtureDir/scored_eval_deploy.parquet"), "pred", "targ")
     }),
 
     // train.py lifecycle: distributed readout training (treeAggregate
@@ -1043,6 +1050,24 @@ object SparkEntry {
            CAST(CAST(SUM(CASE WHEN pred <> targ THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
              / COUNT(*) AS error_rate
          FROM '$OracleFixtureDir/scored_eval.parquet/*.parquet' GROUP BY "length"""",
+
+    // A8 native: the per-relation report aggregation (full-outer join of
+    // by-target and by-predicted counts + ratio columns) over the frozen
+    // deploy-scored split
+    "kg_eval_report" ->
+      s"""WITH s AS (SELECT * FROM '$OracleFixtureDir/scored_eval_deploy.parquet/*.parquet'),
+         bt AS (SELECT targ AS relation, COUNT(*) AS support,
+                  CAST(SUM(CASE WHEN pred = targ THEN 1 ELSE 0 END) AS BIGINT) AS tp
+                FROM s GROUP BY targ),
+         bp AS (SELECT pred AS relation, COUNT(*) AS pred_cnt FROM s GROUP BY pred)
+         SELECT COALESCE(bt.relation, bp.relation) AS relation,
+           COALESCE(support, 0) AS support, COALESCE(tp, 0) AS tp,
+           COALESCE(pred_cnt, 0) AS pred_cnt,
+           CASE WHEN COALESCE(pred_cnt, 0) > 0
+             THEN CAST(COALESCE(tp, 0) AS DOUBLE) / pred_cnt ELSE 0.0 END AS "precision",
+           CASE WHEN COALESCE(support, 0) > 0
+             THEN CAST(COALESCE(tp, 0) AS DOUBLE) / support ELSE 0.0 END AS recall
+         FROM bt FULL OUTER JOIN bp ON bt.relation = bp.relation""",
 
     // B2/A9: the streaming pipeline's compaction — dedup over the raw
     // append-only triple table the stream produced

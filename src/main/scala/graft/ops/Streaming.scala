@@ -58,7 +58,16 @@ object Streaming {
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
       maxFilesPerTrigger: Int = 0,
       batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None,
-      stateRowsMax: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
+      stateRowsMax: Option[java.util.concurrent.atomic.AtomicLong] = None,
+      statePartitions: Int = 8): DataFrame = {
+    // statePartitions sizes the stateful shuffle (= state-store instance
+    // count, fixed by the first batch's checkpoint). The watermark-bounded
+    // window aggregate holds only OPEN windows — a handful of rows per
+    // event_type at ANY corpus scale (partial aggregation upstream is
+    // map-side and unaffected) — so a small constant beats the session's
+    // scan-sized shuffle width: every micro-batch pays one state-store
+    // commit PER PARTITION, which at 32 partitions is pure fixed overhead.
+    // Raise it for genuinely high-cardinality grouping keys.
     val schema = spark.read.parquet(eventsPath).schema
     val staged = stageAll(eventsPath)
     val nDataFiles = {
@@ -90,24 +99,29 @@ object Streaming {
         return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
       def runOnce(filesPerTrigger: Int): Unit = {
-        val reader = spark.readStream.schema(schema)
-        val limited = if (filesPerTrigger > 0)
-          reader.option("maxFilesPerTrigger", filesPerTrigger) else reader
-        val q = aggStream(limited)
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$out/chk")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batchCounter.foreach(_.incrementAndGet())
-            batch.write.mode("append").parquet(s"$out/data")
-            ()
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        if (statePartitions > 0)
+          spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        try {
+          val reader = spark.readStream.schema(schema)
+          val limited = if (filesPerTrigger > 0)
+            reader.option("maxFilesPerTrigger", filesPerTrigger) else reader
+          val q = aggStream(limited)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$out/chk")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batchCounter.foreach(_.incrementAndGet())
+              batch.write.mode("append").parquet(s"$out/data")
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          stateRowsMax.foreach { m =>
+            q.recentProgress.foreach(p => p.stateOperators.foreach(so =>
+              m.getAndUpdate(cur => math.max(cur, so.numRowsTotal))))
           }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try q.processAllAvailable() finally q.stop()
-        stateRowsMax.foreach { m =>
-          q.recentProgress.foreach(p => p.stateOperators.foreach(so =>
-            m.getAndUpdate(cur => math.max(cur, so.numRowsTotal))))
-        }
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
       // sentinel = the anchor row shifted +h hours with the reserved
       // event_type; its own window end stays above the advanced watermark,

@@ -77,10 +77,17 @@ object SparkEntry {
     * (so both engines see identical bytes), and the DuckDB oracle reads the
     * same table by absolute path — upgrading those queries from content-pin
     * to full rows+schema+hash oracle checks. The LSTM content itself stays
-    * pinned in GoldenQuerySpec; this checks the join/agg semantics on top. */
+    * pinned in GoldenQuerySpec; this checks the join/agg semantics on top.
+    *
+    * The path is unique PER JVM (uuid suffix): concurrent battery runs on
+    * one host get disjoint fixture trees, so one process's overwrite can
+    * never race another's oracle read. Verify dumps `oracleSql` from the
+    * same JVM that ran the queries, so the SQL always names this run's
+    * dir. Deliberately NOT cleaned on exit — the driver's DuckDB compare
+    * runs after the Spark JVM has exited. */
   val OracleFixtureDir: String = {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
-    s"$tmp/graft_oracle_fixtures"
+    s"$tmp/graft_oracle_fixtures_${java.util.UUID.randomUUID().toString.take(8)}"
   }
 
   /** IVF centroids computed ONCE per (session, dir) — the coarse-quantizer
@@ -142,7 +149,10 @@ object SparkEntry {
         .toDF().write.mode("overwrite").parquet(s"$fix/scored_120.parquet")
       Pipeline.entityDict(s).write.mode("overwrite").parquet(s"$fix/entity_dict.parquet")
       val back = s.read.parquet(s"$fix/scored_120.parquet").as[graft.kg.ScoredPair]
-      Pipeline.dedupTriples(Pipeline.linkSalted(back, Pipeline.entityDict(s)))
+      // the dict joins from its read-back too — both join inputs are the
+      // exact bytes the oracle reads
+      Pipeline.dedupTriples(Pipeline.linkSalted(back,
+        s.read.parquet(s"$fix/entity_dict.parquet")))
     }),
 
     // S6 end to end: Senna-format pretrained embeddings (fixture words.lst/
@@ -162,7 +172,8 @@ object SparkEntry {
         val words = bundle.word.index2word.zipWithIndex
           .filter(_._2 % 7 == 3).map(_._1).take(60)
         val embText = words.indices.map { i =>
-          (0 until dim).map(d => f"${(((i * dim + d) % 13) - 6) * 0.05}%.2f").mkString(" ")
+          (0 until dim).map(d => String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box((((i * dim + d) % 13) - 6) * 0.05))).mkString(" ")
         }.mkString("\n")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$dir/words.lst"), words.mkString("\n"))

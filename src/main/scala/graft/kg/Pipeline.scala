@@ -299,8 +299,8 @@ object Pipeline {
 
     val done = Lineage.doneBuckets(outDir, "triples_raw")
     val withBucket = pages.withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
-    val remainingBuckets = (0 until buckets).filterNot(done).take(math.max(1, maxBucketsPerRun))
-    val leftOver = (0 until buckets).filterNot(done).drop(math.max(1, maxBucketsPerRun))
+    val (remainingBuckets, leftOver) =
+      (0 until buckets).filterNot(done).splitAt(math.max(1, maxBucketsPerRun))
 
     if (remainingBuckets.nonEmpty) {
       val remaining = withBucket

@@ -36,12 +36,15 @@ object Reports {
     // separators): what remains is header, body rows, avg/total footer
     val lines = text.linesIterator.filter(_.trim.nonEmpty).toSeq
     lines.slice(1, math.max(1, lines.length - 1)).flatMap { line =>
+      // toDoubleOption accepts NaN/Infinity, which are not valid report
+      // fractions — treat them as malformed too
+      def finite(s: String): Option[Double] = s.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
       val row = line.trim.split("\\s+") match {
         case Array(relation, precision, recall, f1, support) =>
           for {
-            p <- precision.toDoubleOption
-            r <- recall.toDoubleOption
-            f <- f1.toDoubleOption
+            p <- finite(precision)
+            r <- finite(recall)
+            f <- finite(f1)
           } yield ReportRow(relation, pct(p), pct(r), pct(f), support)
         case _ => None
       }

@@ -156,7 +156,10 @@ object Streaming {
         writeSentinel(6, drainBase + 60000)
         runOnce(1)
       } else {
-        runOnce(maxFilesPerTrigger)    // the data run (single batch)
+        // data phase: one batch when maxFilesPerTrigger=0; for an explicit
+        // limit > 1 the time-ordered multi-file contract (doc above)
+        // applies across batch boundaries, exactly as for limit = 1
+        runOnce(maxFilesPerTrigger)
         writeSentinel(3, drainBase)    // drain batch 1: watermark → maxTs+2h
         writeSentinel(6, drainBase + 60000) // drain batch 2: flushes trailing windows
         runOnce(1)

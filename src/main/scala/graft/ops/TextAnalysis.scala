@@ -96,11 +96,17 @@ object TextAnalysis {
     * start position — one 16-byte digest per position, never span text.
     * Write once per corpus, reuse across every duplicated-span consumer
     * ([[dupSpanStatsFromSpans]] drops `pos`; [[dupSpanIntervals]] needs it). */
-  def spanDigests(documents: DataFrame, n: Int = 20): DataFrame =
+  def spanDigests(documents: DataFrame, n: Int = 20): DataFrame = {
+    // the span width travels WITH the table (column metadata) so interval
+    // consumers cannot silently disagree about it
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("span_n", n.toLong).build()
     documents
       .select(col("doc_id"),
         posexplode(Dedup.shingles(col("text"), n)).as(Seq("pos", "span")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), md5(col("span")).as("sh"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos", meta),
+        md5(col("span")).as("sh"))
+  }
 
   /** [[dupSpanStats]] over a PRECOMPUTED (materialized) span-digest table. */
   def dupSpanStatsFromSpans(spans: DataFrame): DataFrame = {
@@ -127,6 +133,11 @@ object TextAnalysis {
     * (pos − row_number is constant within a consecutive run). No quadratic
     * stage, no per-doc buffers beyond the window sort. */
   def dupSpanIntervals(spans: DataFrame, n: Int = 20): DataFrame = {
+    // the table knows its own span width ([[spanDigests]] metadata); a
+    // caller-passed n that disagrees would yield silently-wrong end_pos
+    val posMeta = spans.schema("pos").metadata
+    require(!posMeta.contains("span_n") || posMeta.getLong("span_n") == n.toLong,
+      s"span table was built with n=${posMeta.getLong("span_n")} but intervals requested n=$n")
     val docFreq = spans.select(col("doc_id"), col("sh")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
     val dup = spans.join(docFreq, Seq("sh")).filter(col("n_docs") > 1)

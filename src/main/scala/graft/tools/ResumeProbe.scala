@@ -47,13 +47,15 @@ object ResumeProbe {
       def secs[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
       }
-      // canonical content hash: column-name-sorted projection, row-sorted
+      // canonical content hash: column-name-sorted projection, row-sorted;
+      // \u0001 field separator + newline row terminator keep cell
+      // boundaries unambiguous (("ab","c") must not hash like ("a","bc"))
       def tableHash(df: DataFrame): String = {
         val cols = df.columns.sorted.toIndexedSeq
         val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-          .collect().map(_.toSeq.map(String.valueOf).mkString("")).sorted
+          .collect().map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.foreach(r => md.update(r.getBytes("UTF-8")))
+        rows.foreach { r => md.update(r.getBytes("UTF-8")); md.update('\n'.toByte) }
         md.digest().map("%02x".format(_)).mkString
       }
       // every data file under triples_raw: path -> (size, mtime)

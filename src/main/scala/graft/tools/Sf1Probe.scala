@@ -86,6 +86,15 @@ object Sf1Probe {
         droppedAcc = Some(accs("winnow_dropped"))).count()),
       "ngram_jaccard_lsh" -> (() => Dedup.ngramJaccardForPairs(docs,
         Dedup.lshCandidatePairsFromSigs(sigs)).count()),
+      // duplicated-span intervals over the replicated corpus: nearly every
+      // position is duplicated (replica structure), so this measures the
+      // gaps-and-islands window at its worst case — dup table ≈ the whole
+      // positional span table. The span table is MATERIALIZED first (the
+      // SpanCache shared-table contract the battery uses): its two
+      // consumers (document frequency + join-back) must not re-run the
+      // 20-wide shingle concat.
+      "dup_intervals" -> (() => TextAnalysis.dupSpanIntervals(
+        TextAnalysis.spanDigests(docs).localCheckpoint()).count()),
       "bloom_decontaminate" -> (() => Dedup.decontaminateBloom(docs,
         docs.filter(col("doc_id") % 97 === 0), n = 3).count()),
       // battery-default banding (planesPerBand=3, sized for the 2k-vector

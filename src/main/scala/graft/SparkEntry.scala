@@ -146,8 +146,8 @@ object SparkEntry {
       val fix = OracleFixtureDir
       val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
       Pipeline.scorePages(s, Pipeline.generatePages(s, 120L), bundleBc)
-        .toDF().write.mode("overwrite").parquet(s"$fix/scored_120.parquet")
-      Pipeline.entityDict(s).write.mode("overwrite").parquet(s"$fix/entity_dict.parquet")
+        .toDF().coalesce(1).write.mode("overwrite").parquet(s"$fix/scored_120.parquet")
+      Pipeline.entityDict(s).coalesce(1).write.mode("overwrite").parquet(s"$fix/entity_dict.parquet")
       val back = s.read.parquet(s"$fix/scored_120.parquet").as[graft.kg.ScoredPair]
       // the dict joins from its read-back too — both join inputs are the
       // exact bytes the oracle reads
@@ -197,7 +197,7 @@ object SparkEntry {
       val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
       graft.kg.Evaluate.scoreExamples(s, examples, bundleBc).toDF()
         .select(col("id"), col("length"), col("pred"), col("targ"))
-        .write.mode("overwrite").parquet(s"$OracleFixtureDir/scored_eval.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$OracleFixtureDir/scored_eval.parquet")
       graft.kg.Evaluate.errorByLength(
         s.read.parquet(s"$OracleFixtureDir/scored_eval.parquet"))
     }),
@@ -240,7 +240,7 @@ object SparkEntry {
       val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
       graft.kg.Evaluate.scoreExamples(s, examples, bundleBc).toDF()
         .select(col("id"), col("pred"), col("targ"))
-        .write.mode("overwrite").parquet(s"$OracleFixtureDir/scored_eval_deploy.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$OracleFixtureDir/scored_eval_deploy.parquet")
       graft.kg.Metrics.perRelationReport(
         s.read.parquet(s"$OracleFixtureDir/scored_eval_deploy.parquet"), "pred", "targ")
     }),

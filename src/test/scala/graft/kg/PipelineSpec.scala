@@ -296,6 +296,28 @@ class PipelineSpec extends AnyFunSuite {
     } finally Lineage.deleteRecursively(dir)
   }
 
+  test("windowed agg edge cases: empty source -> typed empty result; " +
+      "single event -> drain flushes the one (trailing) window") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-stream-edge").toString
+    try {
+      val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      // empty source: zero micro-batches, nothing to drain — must return
+      // the empty TYPED frame, not throw (the old memory-sink behavior)
+      events.limit(0).write.mode("overwrite").parquet(s"$dir/empty")
+      val empty = graft.ops.Streaming.windowedEventCounts(spark, s"$dir/empty")
+      assert(empty.columns.toSeq ===
+        Seq("window_start", "event_type", "n", "total_value"))
+      assert(empty.count() === 0L)
+      // single event: its window is open at end-of-data (watermark never
+      // passes it) — ONLY the sentinel drain can flush it
+      events.orderBy("event_id").limit(1).write.mode("overwrite").parquet(s"$dir/one")
+      val one = graft.ops.Streaming.windowedEventCounts(spark, s"$dir/one").collect()
+      assert(one.length === 1)
+      assert(one(0).getLong(2) === 1L)
+    } finally Lineage.deleteRecursively(dir)
+  }
+
   test("triple P/R vs frozen reference extractions >= 0.95 (BASELINE gate)") {
     val goldenPath = getClass.getResource("/golden_triples.tsv")
     assume(goldenPath != null, "golden fixture not yet generated — run graft.kg.GoldenGen")

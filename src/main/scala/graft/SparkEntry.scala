@@ -657,6 +657,10 @@ object SparkEntry {
     // maximal duplicated-token INTERVALS (the ranges exact-substring dedup
     // would cut) — gaps-and-islands over the same shared span table
     "q_dup_intervals" -> ((s, dir) => TextAnalysis.dupSpanIntervals(SpanCache.spans(s, dir))),
+    // the dedup ACTION: cut every duplicated 20-token range, keep the
+    // lexicographic-first occurrence; row-local splice + cleaned-text digest
+    "q_dedup_cut" -> ((s, dir) =>
+      TextAnalysis.cutDuplicateSpans(t(s, dir, "documents"), SpanCache.spans(s, dir))),
     // PII redaction over a deterministically PII-spiked corpus (the
     // synthetic docs carry no emails/phones, so the query injects one of
     // each — derived from doc_id — and the oracle replicates the spike)
@@ -1396,6 +1400,47 @@ object SparkEntry {
          SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 19 AS end_pos,
            COUNT(*) AS n_positions
          FROM g GROUP BY doc_id, grp""",
+
+    // exact-substring cut: canonical occurrence = lexicographic-first
+    // (doc_id, pos) per span hash (ROW_NUMBER here ≡ the struct-min in
+    // Spark); cut positions merge into token intervals via the same
+    // lag-based islands; splice = anti-join of token positions vs covered
+    // positions, digest of the ordered re-join. Fully-cut docs hash ''.
+    "q_dedup_cut" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ix AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 19)) AS i FROM d),
+         sp AS (SELECT doc_id, i - 1 AS pos,
+                  md5(list_aggregate(t[i:i+19], 'string_agg', ' ')) AS sh FROM ix),
+         canon AS (SELECT doc_id, pos,
+                     ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+                   FROM sp),
+         cut AS (SELECT doc_id, pos FROM canon WHERE rn > 1),
+         isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                        THEN 1 ELSE 0 END AS newi
+                 FROM cut),
+         isl2 AS (SELECT doc_id, pos,
+                   SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                  FROM isl),
+         iv AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 19 AS e
+                FROM isl2 GROUP BY doc_id, island),
+         ncut AS (SELECT doc_id, COUNT(*) AS n_cut_intervals FROM iv GROUP BY doc_id),
+         covered AS (SELECT DISTINCT doc_id, UNNEST(generate_series(s, e)) AS cp FROM iv),
+         tokpos AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t))) AS i FROM d),
+         kept AS (SELECT tp.doc_id, tp.i, tp.t[tp.i] AS tok
+                  FROM tokpos tp LEFT JOIN covered c
+                    ON tp.doc_id = c.doc_id AND tp.i - 1 = c.cp
+                  WHERE c.cp IS NULL),
+         cln AS (SELECT doc_id, COUNT(*) AS kept_n,
+                   md5(string_agg(tok, ' ' ORDER BY i)) AS m
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(len(d.t) - COALESCE(cln.kept_n, 0) AS BIGINT) AS cut_tokens,
+           CAST(COALESCE(ncut.n_cut_intervals, 0) AS BIGINT) AS n_cut_intervals,
+           COALESCE(cln.m, md5('')) AS cleaned_md5
+         FROM d LEFT JOIN cln ON d.doc_id = cln.doc_id
+                LEFT JOIN ncut ON d.doc_id = ncut.doc_id""",
 
     "q_pii_redact" ->
       """WITH spiked AS (SELECT doc_id,

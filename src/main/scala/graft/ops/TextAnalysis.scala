@@ -152,6 +152,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("start_pos"), col("end_pos"), col("n_positions"))
   }
 
+  /** Exact-substring CUT — the dedup ACTION of Lee et al. (remove every
+    * duplicated `n`-token range, keeping ONE canonical occurrence): for
+    * each span hash the lexicographic-first (doc_id, pos) occurrence is
+    * canonical; every other occurrence (cross-document AND same-document
+    * repeats) marks its positions for cutting; per doc the marked
+    * positions merge into maximal token intervals (positions whose ranges
+    * overlap or touch: gap ≤ n), and the document is spliced in-row —
+    * kept tokens re-joined, with exact stats and a digest of the cleaned
+    * text (the oracle-checkable form of the corpus rewrite).
+    *
+    * Scale shape: canonical selection is one groupBy(sh) min (map-side
+    * partial), the cut set a linear join-back, interval merge ONE window
+    * shuffle keyed by doc_id (lag-based gaps-and-islands — `pos + n − 1`
+    * is monotone in pos, so the running coverage end is just the previous
+    * pos), and the splice itself is row-local codegen'd HOFs. The only
+    * per-doc buffer is the merged-interval list: disjoint intervals ≥ n
+    * tokens apart, so ≤ tokens/n entries — strictly smaller than the text
+    * column already in the row. */
+  def cutDuplicateSpans(documents: DataFrame, spans: DataFrame, n: Int = 20): DataFrame = {
+    val posMeta = spans.schema("pos").metadata
+    require(!posMeta.contains("span_n") || posMeta.getLong("span_n") == n.toLong,
+      s"span table was built with n=${posMeta.getLong("span_n")} but cut requested n=$n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // canonical occurrence per span hash = lexicographic-first (doc_id, pos)
+    val canon = spans.groupBy(col("sh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val cut = spans.join(canon, Seq("sh"))
+      .filter(!(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val intervals = cut
+      .withColumn("newi",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("island", sum(col("newi")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1).cast("long")).as("e"))
+    val cutsPerDoc = intervals.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"),
+        count(lit(1)).as("n_cut_intervals"))
+    val tok = toks(col("text"))
+    val keptCol = when(col("cuts").isNull, tok).otherwise(
+      filter(tok, (_, i) => !exists(col("cuts"),
+        c => i.cast("long").between(c.getField("s"), c.getField("e")))))
+    documents.join(cutsPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(tok).cast("long").as("n_tokens"),
+        (size(tok) - size(keptCol)).cast("long").as("cut_tokens"),
+        coalesce(col("n_cut_intervals"), lit(0L)).as("n_cut_intervals"),
+        md5(array_join(keptCol, " ")).as("cleaned_md5"))
+  }
+
   /** Canonical document fingerprint: md5 of the sorted distinct token set —
     * invariant under token order (near-dup canary). */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -168,6 +168,34 @@ class DedupOpsSpec extends AnyFunSuite {
       (6L, 0L, 21L, 3L))) // 25 tokens: starts 0..2 inside run2 → [0, 21]
   }
 
+  test("cutDuplicateSpans: canonical occurrence kept, replicas fully cut, " +
+      "splice reconstructs the expected cleaned text") {
+    val run = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val tail = "alpha beta gamma"
+    val uniq = (1 to 30).map(i => s"uniq$i").mkString(" ")
+    val dd = docs(
+      (1L, s"$run $tail", "en"),   // canonical owner of the run (28 tokens)
+      (2L, run, "en"),             // exact replica of the run → fully cut
+      (3L, s"prefix words here $run", "en"), // run at tail → cut, prefix kept
+      (4L, uniq, "en"),            // untouched
+      (7L, "short doc", "en"))     // < 20 tokens → untouched
+    val got = graft.ops.TextAnalysis.cutDuplicateSpans(
+      dd, graft.ops.TextAnalysis.spanDigests(dd).localCheckpoint()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 owns every span of the run (lexicographic-first) → untouched
+    assert(got(1L) === ((28L, 0L, 0L, md5(s"$run $tail"))))
+    // doc 2: its 6 span positions all lose to doc 1 → covered [0, 24] = all
+    assert(got(2L) === ((25L, 25L, 1L, md5(""))))
+    // doc 3: 28 tokens, cut positions 3..8 → interval [3, 27]; kept = prefix
+    assert(got(3L) === ((28L, 25L, 1L, md5("prefix words here"))))
+    // untouched docs: zero cuts, digest of the original text
+    assert(got(4L) === ((30L, 0L, 0L, md5(uniq))))
+    assert(got(7L) === ((2L, 0L, 0L, md5("short doc"))))
+  }
+
   test("mixture sampling: deterministic, per-group rates, absent groups dropped") {
     val many = docs((1L to 400L).map(i => (i, s"doc number $i payload", if (i % 2 == 0) "en" else "fr")): _*)
     val sampled = graft.ops.TextAnalysis.mixtureSample(many,

@@ -95,6 +95,20 @@ object Sf1Probe {
       // 20-wide shingle concat.
       "dup_intervals" -> (() => TextAnalysis.dupSpanIntervals(
         TextAnalysis.spanDigests(docs).localCheckpoint()).count()),
+      // the cut ACTION at the replica worst case: all but one replica of
+      // every span is cut, so the splice rewrites ~(copies-1)/copies of
+      // the corpus; canonical selection is a groupBy-min over the whole
+      // positional table. The aggregate consumes the digest column so
+      // Catalyst cannot prune the splice out of the measurement (a bare
+      // count() would).
+      "dedup_cut" -> (() => {
+        val cutDf = TextAnalysis.cutDuplicateSpans(docs,
+          TextAnalysis.spanDigests(docs).localCheckpoint())
+        val r = cutDf.agg(count(lit(1)), sum(col("cut_tokens")),
+          sum(length(col("cleaned_md5")))).head()
+        System.err.println(s"[sf1probe]   dedup_cut detail: cut_tokens=${r.getLong(1)}")
+        r.getLong(0)
+      }),
       "bloom_decontaminate" -> (() => Dedup.decontaminateBloom(docs,
         docs.filter(col("doc_id") % 97 === 0), n = 3).count()),
       // battery-default banding (planesPerBand=3, sized for the 2k-vector

@@ -741,6 +741,13 @@ object SparkEntry {
       Similarity.annCandidatePairs(t(s, dir, "embeddings"), 0.3)),
     "q_ann_knn" -> ((s, dir) =>
       Similarity.annTopKJoin(t(s, dir, "embeddings"), k = 1, minCosine = 0.2)),
+    // SemDeDup: fixed-point k-means clusters (shared with the IVF family
+    // via CentroidCache) + within-cluster cosine pruning -> keep-list
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDeDup(
+        t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        tau = SemDedupTau,
+        precomputed = Some(CentroidCache.centroids(s, dir)))),
 
     // ---- text analysis -----------------------------------------------------------
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))),
@@ -769,6 +776,13 @@ object SparkEntry {
     // winnow near-dup candidate pairs, full corpus, bucket-bounded kernel
     "q_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowCandidatePairs(s, t(s, dir, "documents"))),
+    // corpus-frequency rarity score (division-exact CCNet-style signal)
+    "q_rarity_score" -> ((s, dir) => TextAnalysis.rarityScore(t(s, dir, "documents"))),
+    // source/domain-level curation gate (RefinedWeb-style whole-source drop)
+    "q_source_stats" -> ((s, dir) => TextAnalysis.sourceStats(t(s, dir, "documents"))),
+    // concat-and-chunk sequence packing via the distributed prefix sum
+    "q_pack_chunks" -> ((s, dir) =>
+      TextAnalysis.packChunks(t(s, dir, "documents"), PackCapacity)),
 
     // ---- multimodal plumbing -------------------------------------------------------
     // pure binary metadata over the opaque-payload table (no decode)
@@ -869,6 +883,14 @@ object SparkEntry {
     * dimension must be known without a SparkSession). */
   private val EmbeddingDim = 64
 
+  /** SemDeDup cosine threshold — ONE constant feeds both the Spark query
+    * and the oracle SQL so the two sides cannot drift. */
+  private val SemDedupTau = 0.35
+
+  /** Packing chunk capacity (tokens per training row) — shared by the
+    * `q_pack_chunks` query and its oracle SQL. */
+  private val PackCapacity = 1024L
+
   /** The banded-ANN hyperplanes as a DuckDB VALUES list `(band, bit, vec)`.
     * [[graft.ops.Similarity.hyperplanes]] is a pure function of (seed, dim),
     * so the EXACT planes the Spark plan uses are materialized into the
@@ -945,16 +967,25 @@ object SparkEntry {
   private def sqDistSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
 
-  private def ivfOracle(iters: Int = 5, k: Int = 10): String = {
+  /** Assignment CTE: each vector of `e` to its nearest (squared-L2,
+    * ties → lower list) centroid of `cents`. Shared by the IVF and
+    * SemDeDup oracles. */
+  private def lloydAssignSql(name: String, cents: String): String =
+    s"""$name AS (SELECT vec_id, v, list FROM (
+         SELECT e.vec_id, e.v, c.list,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${sqDistSql("e.v", "c.cent")} ASC, c.list ASC) AS rn
+         FROM e CROSS JOIN $cents c) WHERE rn = 1)"""
+
+  /** The shared Lloyd-k-means CTE chain (see [[ivfOracle]]'s doc for the
+    * cross-engine exactness argument): `e` (corpus vectors, vec_id 0 is the
+    * battery's held-out query vector), `param` (COUNT(*)-derived nlist via
+    * the `nlistForCorpus` rule), `c0` (init = nlist smallest vec_ids), and
+    * `iters` unrolled assignment/sum/recenter steps ending at `c{iters}`. */
+  private def lloydCtes(iters: Int): String = {
     val scale = graft.ops.Similarity.CentroidScale
-    def assign(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, v, list FROM (
-           SELECT e.vec_id, e.v, c.list,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY ${sqDistSql("e.v", "c.cent")} ASC, c.list ASC) AS rn
-           FROM e CROSS JOIN $cents c) WHERE rn = 1)"""
     val steps = (1 to iters).map { i =>
-      s"""${assign(s"a$i", s"c${i - 1}")},
+      s"""${lloydAssignSql(s"a$i", s"c${i - 1}")},
          s$i AS (SELECT a.list, dims.d,
              CAST(SUM(CAST(floor(a.v[dims.d] * $scale.0 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
              COUNT(*) AS n
@@ -964,9 +995,8 @@ object SparkEntry {
              SELECT list, list(CAST(sv AS DOUBLE) / CAST(n * $scale AS DOUBLE) ORDER BY d) AS cent
              FROM s$i GROUP BY list) nc ON p.list = nc.list)"""
     }.mkString(",\n         ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id <> 0),
-         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          dims AS (SELECT UNNEST(generate_series(1, $EmbeddingDim)) AS d),
          param AS (SELECT nlist, GREATEST(2, nlist // 8) AS nprobe FROM (
              SELECT LEAST(65536,
@@ -975,18 +1005,40 @@ object SparkEntry {
          c0 AS (SELECT rn - 1 AS list, v AS cent FROM (
              SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn FROM e)
            WHERE rn <= (SELECT nlist FROM param)),
-         $steps,
+         $steps"""
+  }
+
+  private def ivfOracle(iters: Int = 5, k: Int = 10): String =
+    s"""WITH ${lloydCtes(iters)},
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          probe AS (SELECT list FROM (
              SELECT c.list, ROW_NUMBER() OVER (
                ORDER BY ${sqDistSql("c.cent", "q.qe")} ASC, c.list ASC) AS rn
              FROM c$iters c CROSS JOIN q)
            WHERE rn <= (SELECT nprobe FROM param)),
-         ${assign("afinal", s"c$iters")}
+         ${lloydAssignSql("afinal", s"c$iters")}
          SELECT a.vec_id, ${cosineSql("a.v", "q.qe")} AS cosine
          FROM afinal a CROSS JOIN q
          WHERE a.list IN (SELECT list FROM probe)
          ORDER BY cosine DESC, a.vec_id ASC LIMIT $k"""
-  }
+
+  /** `q_semdedup`: the SAME Lloyd chain yields the cluster assignment, the
+    * pairwise stage is a within-list self-join (the oracle-side mirror of
+    * the cluster-keyed self-join in `Similarity.semDeDup` — quadratic only
+    * within a cluster, exactly the paper's tractability bound), and a
+    * vector is kept iff no lower-id vector in its cluster has round-4
+    * cosine ≥ tau. The round-4 cosine is the established exact bridge, so
+    * the threshold compare agrees bit-for-bit. */
+  private def semDedupOracle(tau: Double, iters: Int = 5): String =
+    s"""WITH ${lloydCtes(iters)},
+         ${lloydAssignSql("afinal", s"c$iters")},
+         dropped AS (SELECT DISTINCT b.vec_id
+             FROM afinal a JOIN afinal b
+               ON a.list = b.list AND a.vec_id < b.vec_id
+             WHERE ${cosineSql("a.v", "b.v")} >= $tau)
+         SELECT a.vec_id, CAST(a.list AS BIGINT) AS list,
+                (d.vec_id IS NULL) AS kept
+         FROM afinal a LEFT JOIN dropped d ON a.vec_id = d.vec_id"""
 
   /** The Rabin-Karp k-gram hash of `winnow` as a DuckDB expression over
     * 1-based position `i`: h = ((c_0·B + c_1)·B + c_2)… with B = 1e9+7,
@@ -1735,6 +1787,49 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id""",
 
+    // corpus-frequency rarity: exact-long cf sums, ONE double division
+    "q_rarity_score" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+         cf AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY token),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(cf) AS BIGINT) AS cf_sum
+                 FROM tok JOIN cf USING (token) GROUP BY doc_id)
+         SELECT doc_id, n_tokens, cf_sum,
+           CAST(cf_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_cf
+         FROM agg""",
+
+    // source-level gate: exact-int aggregates, division-exact ratios, and
+    // the same threshold compare both engines
+    "q_source_stats" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+           FROM documents GROUP BY source)
+         SELECT source, n_docs, tok_sum, n_uniq,
+           CAST(tok_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+           CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+           (CAST(tok_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) < 50.0
+            OR CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.2) AS flagged
+         FROM s""",
+
+    // concat-and-chunk packing: the oracle USES the single-partition window
+    // form (fine at oracle scale; the Spark side runs the distributed
+    // prefix sum) — all-integer, so the manifests match exactly
+    "q_pack_chunks" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+         o AS (SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+           FROM d),
+         x AS (SELECT doc_id, s, s + n AS e,
+             UNNEST(generate_series(s // $PackCapacity, (s + n - 1) // $PackCapacity)) AS chunk_id
+           FROM o)
+         SELECT chunk_id, COUNT(*) AS n_docs,
+           CAST(SUM(LEAST(e, (chunk_id + 1) * $PackCapacity) - GREATEST(s, chunk_id * $PackCapacity)) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM x GROUP BY chunk_id""",
+
     // ---- banded-ANN family: EXACT oracles (the seeded hyperplanes are a
     // pure function of the seed — materialized above as VALUES literals,
     // so DuckDB recomputes the same banding keys, candidate set and
@@ -1766,6 +1861,8 @@ object SparkEntry {
     // centroid sums — see ivfOracle's doc for the cross-engine argument)
     "q_ann_ivf" -> ivfOracle(),
     "q_ann_ivf_index" -> ivfOracle(),
+    // SemDeDup: same Lloyd chain + within-cluster cosine pruning
+    "q_semdedup" -> semDedupOracle(SemDedupTau),
 
     "q_ann_pairs" ->
       s"""$annKeysCte,

@@ -56,4 +56,40 @@ object Rank {
       .withColumn(out, (col("__rn").cast("long") + col("__offset")))
       .drop("__pid", "__rn", "__offset")
   }
+
+  /** Distributed EXCLUSIVE prefix sum in a global order — the scale-safe
+    * replacement for `sum(v).over(Window.orderBy(...))`, which Spark would
+    * execute by moving EVERY row through a single partition. Same two-phase
+    * shape as [[globalRowNumber]]: range-repartition by the order keys and
+    * sort within partitions (parallel), per-partition value totals to the
+    * driver (at most `partitions` longs — partition metadata, not data),
+    * cumulative offsets broadcast back, and a LOCAL window sum within each
+    * range partition. `out` receives the sum of `value` over all rows
+    * STRICTLY before the row in the global order. Same total-order contract
+    * on the sort keys as [[globalRowNumber]]. */
+  def globalRunningOffset(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value.cast("long"))
+      .localCheckpoint()
+    // per-partition totals: <= p longs to the driver (metadata-sized)
+    val totals = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+    import spark.implicits._
+    val offsetDf = (0 until p).map(i => (i, offsets(i))).toDF("__pid", "__offset")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__local", coalesce(sum(col("__v")).over(w), lit(0L)))
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(out, col("__local") + col("__offset"))
+      .drop("__pid", "__v", "__local", "__offset")
+  }
 }

@@ -518,6 +518,59 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup — SEMANTIC deduplication through embedding clusters (Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the embedding space with the
+    * deterministic fixed-point k-means ([[ivfCentroids]] — exact Long
+    * accumulator, bit-identical under any combine order), then compare
+    * vectors ONLY within their cluster and drop every vector that has a
+    * lower-id semantic duplicate (round-4 cosine ≥ `tau`) in the same
+    * cluster — the same deterministic keep-the-smaller-id policy as
+    * `TextAnalysis.curationPipeline`'s near-dup stage. Returns one row per
+    * vector `(vec_id, list, kept)` — the keep-list the corpus rewrite
+    * consumes (filter `kept`, join back on `vec_id`).
+    *
+    * Scale shape — the tractability argument is the paper's own: the
+    * quadratic comparison never leaves a cluster. Assignment is one
+    * broadcast-centroid narrow pass; the pairwise stage is a self-join
+    * keyed by the cluster id, so its one shuffle carries (list, vec_id,
+    * embedding) and the expansion is bounded per cluster
+    * ([[nlistForCorpus]] keeps the expected cluster population near
+    * max(256, √n)). No global stage, no driver data beyond the nlist×dim
+    * centroid table. */
+  def semDeDup(embeddings: DataFrame, tau: Double = 0.35,
+      precomputed: Option[Array[Array[Double]]] = None,
+      nlist: Int = 0, iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.VectorOps.register(spark)
+    import spark.implicits._
+    val e = asDouble(embeddings).select(col("vec_id"), col("embedding"))
+    val centroids = precomputed.getOrElse {
+      val k = if (nlist > 0) nlist else nlistForCorpus(e.count())
+      ivfCentroids(embeddings, k, iters)
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    // materialized once: the assignment feeds both self-join sides AND the
+    // output row set (at 100 TB this is the written IVF index table itself)
+    val assigned = e.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, v) => (id, v, nearestCentroid(v, cents)) }
+      }.toDF("vec_id", "embedding", "list")
+      .localCheckpoint()
+    val a = assigned.select(col("list"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("list"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val dropped = a.join(b, Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine_sim(col("emb_a"), col("emb_b")), 4) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list").cast("long").as("list"),
+        col("dup").isNull.as("kept"))
+  }
+
   /** All-pairs exact top-1 neighbor per vector, bounded demo (vec_id < cap):
     * the oracle-checkable all-pairs form. */
   def nearestNeighborJoin(embeddings: DataFrame, cap: Int = 100): DataFrame = {

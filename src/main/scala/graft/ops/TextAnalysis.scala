@@ -203,6 +203,91 @@ object TextAnalysis {
         md5(array_join(keptCol, " ")).as("cleaned_md5"))
   }
 
+  /** Corpus-frequency RARITY score — the frequency-based quality signal a
+    * curation run uses where CCNet uses LM perplexity (common/boilerplate
+    * text scores high, rare or noisy text low). All-integer internals, per
+    * the division-exact contract of [[tfidfTopTerms]]: cf(token) = total
+    * corpus occurrences (exact long), per-document cf_sum = Σ cf over the
+    * document's token POSITIONS (exact long sum — integer addition is
+    * associative, so any aggregation order agrees), and mean_cf =
+    * cf_sum / n_tokens is ONE IEEE division of exact ints — bit-identical
+    * in any engine, unlike a per-doc mean of per-token doubles whose
+    * summation order would differ.
+    *
+    * Scale shape: one groupBy(token) count (map-side partials), one
+    * token-keyed hash join back, one doc-keyed groupBy of longs — every
+    * shuffle keyed and linear, nothing global, no driver data. Same shape
+    * as [[dupSpanStatsFromSpans]]. */
+  def rarityScore(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val cf = tok.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    tok.join(cf, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("cf_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("cf_sum"),
+        (col("cf_sum").cast("double") / col("n_tokens").cast("double")).as("mean_cf"))
+  }
+
+  /** SOURCE-level curation stats + gate — the domain/source filtering pass
+    * of web-corpus pipelines (RefinedWeb/C4 drop whole domains whose
+    * aggregate signals fail, instead of re-litigating every page): per
+    * source, document count, exact token sum, distinct-text count (exact
+    * dedup digest), and the two derived gates — mean document length and
+    * the within-source exact-duplicate fraction. A source is `flagged`
+    * when its mean length falls below `minMeanTokens` or its duplicate
+    * fraction exceeds `maxDupFrac`. Ratios of exact ints (one IEEE
+    * division each — cross-engine identical), so the threshold compare
+    * agrees in any engine.
+    *
+    * Scale shape: ONE groupBy(source) with map-side partials (the distinct
+    * count is a two-phase partial-distinct over (source, digest) — digests,
+    * never text, shuffle); the key space is the source/domain set, millions
+    * at web scale, never corpus-sized. */
+  def sourceStats(documents: DataFrame, minMeanTokens: Double = 50.0,
+      maxDupFrac: Double = 0.2): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("long")).as("tok_sum"),
+        countDistinct(md5(col("text"))).as("n_uniq"))
+      .select(col("source"), col("n_docs"), col("tok_sum"), col("n_uniq"),
+        (col("tok_sum").cast("double") / col("n_docs").cast("double")).as("mean_tokens"),
+        ((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs").cast("double")).as("dup_frac"))
+      .withColumn("flagged",
+        col("mean_tokens") < minMeanTokens || col("dup_frac") > maxDupFrac)
+
+  /** Concat-and-chunk sequence PACKING — the GPT-style pretraining layout:
+    * the corpus's token stream, concatenated in doc_id order, is cut into
+    * fixed-`capacity` training rows; a document spanning a cut contributes
+    * its tokens to both neighbors. Emits the per-chunk manifest
+    * (chunk_id, docs overlapping it, tokens it holds, first/last doc) —
+    * the placement table a packed-example writer consumes.
+    *
+    * Scale shape: the global token offset comes from
+    * [[Rank.globalRunningOffset]] — the two-phase distributed prefix sum
+    * (range partition + per-partition totals + broadcast offsets), NOT a
+    * `Window.orderBy` over everything, which would funnel the corpus
+    * through one partition. The chunk explode adds ≤ n_tokens/capacity + 1
+    * rows per document (linear in corpus tokens), and the final groupBy is
+    * keyed by chunk_id. Exact-integer throughout (token counts, integer
+    * division), so the DuckDB oracle — which CAN use the single-partition
+    * window form at test scale — matches bit-for-bit. */
+  def packChunks(documents: DataFrame, capacity: Long = 1024L): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val withLen = documents
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    Rank.globalRunningOffset(withLen, Seq(col("doc_id")), col("n_tokens"), "start")
+      .withColumn("end", col("start") + col("n_tokens"))
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"start DIV $capacity"), expr(s"(`end` - 1) DIV $capacity"))))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("end"), (col("chunk_id") + 1) * capacity)
+          - greatest(col("start"), col("chunk_id") * capacity)).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   /** Canonical document fingerprint: md5 of the sorted distinct token set —
     * invariant under token order (near-dup canary). */
   def fingerprint(documents: DataFrame): DataFrame =

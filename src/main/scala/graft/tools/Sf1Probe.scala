@@ -132,7 +132,25 @@ object Sf1Probe {
         val nlist = Similarity.nlistForCorpus(nEmbs - 1)
         Similarity.ivfCosineTopK(rest, q, k = 10, nlist = nlist,
           nprobe = Similarity.nprobeForNlist(nlist)).count()
-      }))
+      }),
+      // SemDeDup at auto nlist over the replica corpus — the worst
+      // realistic case for cluster-bounded pairwise work: every vector has
+      // ~copies near-identical siblings, so in-cluster pair volume is the
+      // cap the nlistForCorpus population rule promises. The kept=false
+      // count proves the action fires at scale (replicas drop).
+      "semdedup_auto" -> (() => {
+        val out = Similarity.semDeDup(embs.filter(col("vec_id") =!= 0))
+        val r = out.agg(count(lit(1)), sum(when(col("kept"), 0L).otherwise(1L))).head()
+        System.err.println(s"[sf1probe]   semdedup detail: dropped=${r.getLong(1)}")
+        r.getLong(0)
+      }),
+      // concat-and-chunk packing: the distributed prefix sum at scale (the
+      // one op whose naive form would be a single-partition window)
+      "pack_chunks" -> (() => TextAnalysis.packChunks(docs).count()),
+      // corpus-frequency rarity: token-keyed join-back shape at scale
+      "rarity_score" -> (() => TextAnalysis.rarityScore(docs).count()),
+      // source-level gate: one tiny-keyspace groupBy (sources, not docs)
+      "source_stats" -> (() => TextAnalysis.sourceStats(docs).count()))
 
     // each accumulator is driven by exactly one op; its value is SNAPSHOT
     // right after that op's trials (the last trial's count — the reset

@@ -783,6 +783,9 @@ object SparkEntry {
     // concat-and-chunk sequence packing via the distributed prefix sum
     "q_pack_chunks" -> ((s, dir) =>
       TextAnalysis.packChunks(t(s, dir, "documents"), PackCapacity)),
+    // token-distribution shift between two sources (mixture-drift signal)
+    "q_token_shift" -> ((s, dir) =>
+      TextAnalysis.tokenShift(t(s, dir, "documents"), ShiftSourceA, ShiftSourceB, ShiftTopK)),
 
     // ---- multimodal plumbing -------------------------------------------------------
     // pure binary metadata over the opaque-payload table (no decode)
@@ -890,6 +893,13 @@ object SparkEntry {
   /** Packing chunk capacity (tokens per training row) — shared by the
     * `q_pack_chunks` query and its oracle SQL. */
   private val PackCapacity = 1024L
+
+  /** Token-shift comparison pair + top-k — `src0`/`src1` exist at every
+    * scale factor of the driver's testdata; one set of constants feeds
+    * both the Spark query and the oracle SQL. */
+  private val ShiftSourceA = "src0"
+  private val ShiftSourceB = "src1"
+  private val ShiftTopK = 100
 
   /** The banded-ANN hyperplanes as a DuckDB VALUES list `(band, bit, vec)`.
     * [[graft.ops.Similarity.hyperplanes]] is a pure function of (seed, dim),
@@ -1797,6 +1807,24 @@ object SparkEntry {
          SELECT doc_id, n_tokens, cf_sum,
            CAST(cf_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_cf
          FROM agg""",
+
+    // token-distribution shift: relative-frequency difference — each term
+    // ONE division of exact longs, so the double (and the ordering it
+    // induces) is bit-identical cross-engine; ties broken by token ASC
+    "q_token_shift" ->
+      s"""WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS token
+           FROM documents WHERE source IN ('$ShiftSourceA', '$ShiftSourceB')),
+         cnt AS (SELECT token,
+             CAST(SUM(CASE WHEN source = '$ShiftSourceA' THEN 1 ELSE 0 END) AS BIGINT) AS cf_a,
+             CAST(SUM(CASE WHEN source = '$ShiftSourceB' THEN 1 ELSE 0 END) AS BIGINT) AS cf_b
+           FROM tok GROUP BY token),
+         tot AS (SELECT CAST(SUM(cf_a) AS DOUBLE) AS n_a,
+                        CAST(SUM(cf_b) AS DOUBLE) AS n_b FROM cnt)
+         SELECT token, cf_a, cf_b,
+           ABS(CAST(cf_a AS DOUBLE) / (SELECT n_a FROM tot)
+             - CAST(cf_b AS DOUBLE) / (SELECT n_b FROM tot)) AS shift
+         FROM cnt
+         ORDER BY shift DESC, token ASC LIMIT $ShiftTopK""",
 
     // source-level gate: exact-int aggregates, division-exact ratios, and
     // the same threshold compare both engines

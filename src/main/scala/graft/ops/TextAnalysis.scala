@@ -228,6 +228,44 @@ object TextAnalysis {
         (col("cf_sum").cast("double") / col("n_tokens").cast("double")).as("mean_cf"))
   }
 
+  /** Token-distribution SHIFT between two sources — the corpus-comparison
+    * signal a mixture pipeline watches (crawl-drift between snapshots,
+    * domain-vs-domain vocabulary skew, post-filter distribution damage):
+    * top-`k` tokens by `|cf_a/n_a − cf_b/n_b|`, the absolute difference of
+    * the token's relative frequency in each source. Each term is ONE IEEE
+    * division of exact longs (cf and n are exact counts), and the
+    * difference of two such doubles is again bit-determined — so ordering,
+    * selection, and the emitted statistic agree in any engine, at any
+    * scale (the normalized form cannot overflow, unlike the integer
+    * cross-product `|cf_a·n_b − cf_b·n_a|`).
+    *
+    * Scale shape: ONE corpus pass — source-pruned scan (the `IN` filter
+    * pushes to parquet) → explode → groupBy(token) with map-side partial
+    * conditional sums; the vocab-sized count table materializes once
+    * (localCheckpoint) and feeds the two-long totals action plus the
+    * ranking; top-k is `TakeOrderedAndProject` (per-partition heads →
+    * driver merge of P·k rows), never a global sort. Ties broken by token
+    * ASC — the selected set is deterministic. */
+  def tokenShift(documents: DataFrame, sourceA: String, sourceB: String,
+      k: Int = 100): DataFrame = {
+    require(sourceA != sourceB, "tokenShift needs two distinct sources")
+    val cnt = documents
+      .filter(col("source").isin(sourceA, sourceB))
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("source") === sourceA, 1L).otherwise(0L)).as("cf_a"),
+        sum(when(col("source") === sourceB, 1L).otherwise(0L)).as("cf_b"))
+      .localCheckpoint() // vocab-sized; consumed twice (totals + ranking)
+    val tot = cnt.agg(sum(col("cf_a")), sum(col("cf_b"))).head()
+    val (nA, nB) = (tot.getLong(0), tot.getLong(1))
+    require(nA > 0 && nB > 0, s"tokenShift: empty source ($sourceA:$nA, $sourceB:$nB tokens)")
+    val shift = abs(col("cf_a").cast("double") / lit(nA).cast("double")
+      - col("cf_b").cast("double") / lit(nB).cast("double"))
+    cnt.withColumn("shift", shift)
+      .orderBy(col("shift").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** SOURCE-level curation stats + gate — the domain/source filtering pass
     * of web-corpus pipelines (RefinedWeb/C4 drop whole domains whose
     * aggregate signals fail, instead of re-litigating every page): per

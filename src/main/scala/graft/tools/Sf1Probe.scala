@@ -149,6 +149,9 @@ object Sf1Probe {
       "pack_chunks" -> (() => TextAnalysis.packChunks(docs).count()),
       // corpus-frequency rarity: token-keyed join-back shape at scale
       "rarity_score" -> (() => TextAnalysis.rarityScore(docs).count()),
+      // two-source distribution shift: vocab-keyed conditional sums +
+      // distributed top-k (TakeOrderedAndProject) at scale
+      "token_shift" -> (() => TextAnalysis.tokenShift(docs, "src0", "src1").count()),
       // source-level gate: one tiny-keyspace groupBy (sources, not docs)
       "source_stats" -> (() => TextAnalysis.sourceStats(docs).count()))
 

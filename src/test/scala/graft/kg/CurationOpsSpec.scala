@@ -80,6 +80,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!out("s_ok"), "healthy source must pass")
   }
 
+  // ---- token shift ---------------------------------------------------------
+
+  test("tokenShift: hand-computed relative-frequency differences and top-k cut") {
+    val docs = Seq(
+      (0L, "sA", "a a b"),
+      (1L, "sB", "a c")).toDF("doc_id", "source", "text")
+    // n_a=3, n_b=2; shift: a=|2/3-1/2|=1/6, b=1/3, c=1/2
+    val all = graft.ops.TextAnalysis.tokenShift(docs, "sA", "sB", k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    assert(all.map(_._1).toSeq === Seq("c", "b", "a"), "ordered by shift desc")
+    val m = all.toMap
+    assert(m("a") === ((2L, 1L, math.abs(2.0 / 3.0 - 1.0 / 2.0))))
+    assert(m("b") === ((1L, 0L, 1.0 / 3.0)))
+    assert(m("c") === ((0L, 1L, 1.0 / 2.0)))
+    val top2 = graft.ops.TextAnalysis.tokenShift(docs, "sA", "sB", k = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(top2 === Set("c", "b"))
+  }
+
+  test("tokenShift: equal shifts break ties by token ASC, deterministically") {
+    val docs = Seq(
+      (0L, "sA", "x y"),
+      (1L, "sB", "p q")).toDF("doc_id", "source", "text")
+    // every token has shift 1/2 -> pure tie-break ordering
+    val toks = graft.ops.TextAnalysis.tokenShift(docs, "sA", "sB", k = 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(toks === Seq("p", "q", "x"))
+  }
+
+  test("tokenShift: top-k is TakeOrderedAndProject, never a global sort") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.ops.TextAnalysis.tokenShift(docs, "src0", "src1", k = 100)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be the distributed per-partition-heads form:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"no global sort exchange:\n$plan")
+    assert(out.count() > 0)
+  }
+
   // ---- packing -------------------------------------------------------------
 
   test("packChunks: hand-computed manifest at capacity 10") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.kg.Pipeline
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, Streaming}
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, SemiStructured, Streaming}
 
 /**
  * Driver contract — one `queries` entry per implemented operator from
@@ -787,6 +787,10 @@ object SparkEntry {
     "q_token_shift" -> ((s, dir) =>
       TextAnalysis.tokenShift(t(s, dir, "documents"), ShiftSourceA, ShiftSourceB, ShiftTopK)),
 
+    // semi-structured JSON property-bag parse + exact-int aggregate
+    "q_json_props" -> ((s, dir) =>
+      SemiStructured.propStats(t(s, dir, "events"), PropHiK)),
+
     // ---- multimodal plumbing -------------------------------------------------------
     // pure binary metadata over the opaque-payload table (no decode)
     "q_media_meta" -> ((s, dir) =>
@@ -900,6 +904,10 @@ object SparkEntry {
   private val ShiftSourceA = "src0"
   private val ShiftSourceB = "src1"
   private val ShiftTopK = 100
+
+  /** High-`k` threshold for the JSON property-bag stats — one constant
+    * feeds both the Spark query and the oracle SQL. */
+  private val PropHiK = 50L
 
   /** The banded-ANN hyperplanes as a DuckDB VALUES list `(band, bit, vec)`.
     * [[graft.ops.Similarity.hyperplanes]] is a pure function of (seed, dim),
@@ -1825,6 +1833,19 @@ object SparkEntry {
              - CAST(cf_b AS DOUBLE) / (SELECT n_b FROM tot)) AS shift
          FROM cnt
          ORDER BY shift DESC, token ASC LIMIT $ShiftTopK""",
+
+    // JSON property-bag extraction: DuckDB's json_extract mirrors Spark's
+    // from_json(k BIGINT); every output column is an exact integer
+    "q_json_props" ->
+      s"""SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract(props, '$$.k') AS BIGINT)) AS n_parsed,
+           CAST(SUM(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(json_extract(props, '$$.k') AS BIGINT) > $PropHiK
+                      THEN user_id END) AS BIGINT) AS n_users_hi
+         FROM events GROUP BY event_type""",
 
     // source-level gate: exact-int aggregates, division-exact ratios, and
     // the same threshold compare both engines

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.kg.Pipeline
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, SemiStructured, Streaming}
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, SemiStructured, Sessions, Streaming}
 
 /**
  * Driver contract — one `queries` entry per implemented operator from
@@ -791,6 +791,11 @@ object SparkEntry {
     "q_json_props" -> ((s, dir) =>
       SemiStructured.propStats(t(s, dir, "events"), PropHiK)),
 
+    // gap-based sessionization: gaps-and-islands in per-user windows,
+    // ONE exchange end to end (plan-asserted in SessionsSpec)
+    "q_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(t(s, dir, "events"), SessionGapSeconds)),
+
     // ---- multimodal plumbing -------------------------------------------------------
     // pure binary metadata over the opaque-payload table (no decode)
     "q_media_meta" -> ((s, dir) =>
@@ -908,6 +913,10 @@ object SparkEntry {
   /** High-`k` threshold for the JSON property-bag stats — one constant
     * feeds both the Spark query and the oracle SQL. */
   private val PropHiK = 50L
+
+  /** Session gap (seconds of user silence that starts a new session) —
+    * one constant feeds both the Spark query and the oracle SQL. */
+  private val SessionGapSeconds = 1800L
 
   /** The banded-ANN hyperplanes as a DuckDB VALUES list `(band, bit, vec)`.
     * [[graft.ops.Similarity.hyperplanes]] is a pure function of (seed, dim),
@@ -1846,6 +1855,25 @@ object SparkEntry {
            CAST(COUNT(DISTINCT CASE WHEN CAST(json_extract(props, '$$.k') AS BIGINT) > $PropHiK
                       THEN user_id END) AS BIGINT) AS n_users_hi
          FROM events GROUP BY event_type""",
+
+    // sessionization: identical gaps-and-islands in DuckDB window SQL;
+    // epoch_us mirrors unix_micros (exact BIGINT), value sums in
+    // DECIMAL(18,2) then casts to double
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, value FROM events),
+         m AS (SELECT user_id, event_id, ep, value,
+             CASE WHEN lag(ep) OVER w IS NULL THEN 1
+                  WHEN ep - lag(ep) OVER w > $SessionGapSeconds * 1000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC, event_id ASC)),
+         s AS (SELECT user_id, ep, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM m)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(MIN(ep) AS BIGINT) AS start_us, CAST(MAX(ep) AS BIGINT) AS end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM s GROUP BY user_id, session_idx""",
 
     // source-level gate: exact-int aggregates, division-exact ratios, and
     // the same threshold compare both engines

@@ -796,6 +796,16 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Sessions.sessionize(t(s, dir, "events"), SessionGapSeconds)),
 
+    // ordered funnel (windowFunnel shape): chained conditional window
+    // minima over one user-keyed exchange
+    "q_funnel" -> ((s, dir) =>
+      Sessions.funnel(t(s, dir, "events"), FunnelSteps)),
+
+    // weekly cohort retention: exact integral epoch weeks, user-keyed
+    // window for the cohort, one aggregate on (cohort, offset)
+    "q_retention" -> ((s, dir) =>
+      Sessions.retention(t(s, dir, "events"))),
+
     // ---- multimodal plumbing -------------------------------------------------------
     // pure binary metadata over the opaque-payload table (no decode)
     "q_media_meta" -> ((s, dir) =>
@@ -917,6 +927,9 @@ object SparkEntry {
   /** Session gap (seconds of user silence that starts a new session) —
     * one constant feeds both the Spark query and the oracle SQL. */
   private val SessionGapSeconds = 1800L
+
+  /** Funnel step sequence over the events table's type vocabulary. */
+  private val FunnelSteps = Seq("view", "click", "purchase")
 
   /** The banded-ANN hyperplanes as a DuckDB VALUES list `(band, bit, vec)`.
     * [[graft.ops.Similarity.hyperplanes]] is a pure function of (seed, dim),
@@ -1874,6 +1887,37 @@ object SparkEntry {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM s GROUP BY user_id, session_idx""",
+
+    // ordered funnel: identical chained conditional window minima; the
+    // step columns are per-user constants, so MIN in the final group is
+    // exact pass-through
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ep FROM events),
+         w1 AS (SELECT user_id, event_type, ep,
+             MIN(CASE WHEN event_type = '${FunnelSteps(0)}' THEN ep END)
+               OVER (PARTITION BY user_id) AS s1 FROM e),
+         w2 AS (SELECT *, MIN(CASE WHEN event_type = '${FunnelSteps(1)}' AND ep > s1 THEN ep END)
+               OVER (PARTITION BY user_id) AS s2 FROM w1),
+         w3 AS (SELECT *, MIN(CASE WHEN event_type = '${FunnelSteps(2)}' AND ep > s2 THEN ep END)
+               OVER (PARTITION BY user_id) AS s3 FROM w2)
+         SELECT user_id,
+           CAST(MIN(s1) AS BIGINT) AS step1_us,
+           CAST(MIN(s2) AS BIGINT) AS step2_us,
+           CAST(MIN(s3) AS BIGINT) AS step3_us,
+           CAST(CASE WHEN MIN(s3) IS NOT NULL THEN 3
+                     WHEN MIN(s2) IS NOT NULL THEN 2
+                     WHEN MIN(s1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
+         FROM w3 GROUP BY user_id""",
+
+    // weekly cohort retention: exact integral epoch-week division both
+    // engines (// in DuckDB, div in Spark), distinct users per cell
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+         w AS (SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM e)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM w GROUP BY cohort_week, week - cohort_week""",
 
     // source-level gate: exact-int aggregates, division-exact ratios, and
     // the same threshold compare both engines

@@ -50,4 +50,53 @@ object Sessions {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
   }
+
+  /** Ordered-funnel analysis (the windowFunnel shape): for each user, the
+    * earliest time step 1 occurred, the earliest step-2 time strictly
+    * after it, and so on — one nullable epoch-micros column per step plus
+    * the deepest step reached. Each step is a partition-frame window
+    * minimum conditioned on the previous step's column, so the N-step
+    * funnel is N window expressions over ONE user-keyed exchange and a
+    * final per-user aggregate on the same partitioning — no self-joins,
+    * no per-user event buffering. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val byUser = Window.partitionBy(col("user_id"))
+    val epochUs = unix_micros(col("ts").cast("timestamp"))
+    val withSteps = steps.zipWithIndex.foldLeft(
+      events.select(col("user_id"), col("event_type"), epochUs.as("ep"))) {
+      case (df, (step, i)) =>
+        val cond = if (i == 0) col("event_type") === step
+                   else col("event_type") === step && col("ep") > col(s"step${i}_us")
+        df.withColumn(s"step${i + 1}_us", min(when(cond, col("ep"))).over(byUser))
+    }
+    val stepCols = steps.indices.map(i => col(s"step${i + 1}_us"))
+    // fold FORWARD so the deepest step's test ends up outermost:
+    // when(sN,N).otherwise(when(sN-1,N-1)...otherwise(0))
+    val reached = stepCols.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (c, i)) => when(c.isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    withSteps
+      .groupBy(col("user_id"))
+      .agg(first(stepCols.head).as("step1_us"),
+           stepCols.tail.zipWithIndex.map { case (c, i) => first(c).as(s"step${i + 2}_us") }: _*)
+      .withColumn("reached", reached.as("reached"))
+  }
+
+  /** Weekly cohort retention: cohort = the epoch week of a user's first
+    * event, and for every (cohort, week-offset) the distinct count of
+    * users active that week. Two linear exchanges: the user-keyed window
+    * finds the cohort week, then one aggregate on (cohort, offset) whose
+    * countDistinct absorbs the per-week event multiplicity (no separate
+    * distinct shuffle). Epoch weeks are exact integral division of epoch
+    * micros — no calendar or timezone arithmetic. */
+  def retention(events: DataFrame, weekMicros: Long = 604800L * 1000000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val week = expr(s"unix_micros(cast(ts as timestamp)) div ${weekMicros}L")
+    events
+      .select(col("user_id"), week.as("week"))
+      .withColumn("cohort_week", min(col("week")).over(byUser))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

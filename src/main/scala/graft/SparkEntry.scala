@@ -806,6 +806,11 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       Sessions.retention(t(s, dir, "events"))),
 
+    // exact rank-pick percentiles: integer arithmetic only, per-source
+    // parallel windows
+    "q_length_percentiles" -> ((s, dir) =>
+      TextAnalysis.lengthPercentiles(t(s, dir, "documents"), PercentileList)),
+
     // ---- multimodal plumbing -------------------------------------------------------
     // pure binary metadata over the opaque-payload table (no decode)
     "q_media_meta" -> ((s, dir) =>
@@ -930,6 +935,10 @@ object SparkEntry {
 
   /** Funnel step sequence over the events table's type vocabulary. */
   private val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** Percentile list (integer percents) for the length-distribution
+    * summary — one constant feeds both engines. */
+  private val PercentileList = Seq(50, 90, 99)
 
   /** The banded-ANN hyperplanes as a DuckDB VALUES list `(band, bit, vec)`.
     * [[graft.ops.Similarity.hyperplanes]] is a pure function of (seed, dim),
@@ -1918,6 +1927,18 @@ object SparkEntry {
          SELECT cohort_week, week - cohort_week AS week_offset,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
          FROM w GROUP BY cohort_week, week - cohort_week""",
+
+    // rank-pick percentiles: the identical integer formulation — element
+    // at rank (pct*n + 99) // 100 in (n_chars, doc_id) order
+    "q_length_percentiles" ->
+      s"""WITH d AS (SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_docs
+           FROM documents),
+         p AS (SELECT UNNEST([${PercentileList.mkString(", ")}]) AS pct)
+         SELECT d.source, CAST(p.pct AS BIGINT) AS pct, d.n_chars AS value,
+           CAST(d.n_docs AS BIGINT) AS n_docs
+         FROM d JOIN p ON d.rn = (p.pct * d.n_docs + 99) // 100""",
 
     // source-level gate: exact-int aggregates, division-exact ratios, and
     // the same threshold compare both engines

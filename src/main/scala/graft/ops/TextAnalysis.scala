@@ -640,4 +640,29 @@ object TextAnalysis {
       .select(col("token"), col("est_count"),
         coalesce(col("exact_count"), lit(0L)).as("exact_count"))
   }
+
+  /** EXACT rank-pick percentiles of document length per source — the
+    * distribution-summary operator for corpus dashboards, with no float
+    * interpolation anywhere: percentile p (an integer percent) is the
+    * element at rank ⌈p·n/100⌉ = (p·n + 99) div 100 in (n_chars, doc_id)
+    * order, pure integer arithmetic both engines. One source-keyed
+    * exchange: the per-source window ranks in parallel, the percent list
+    * explodes ×|pcts| (a constant), and the rank-match filter keeps
+    * |pcts| rows per source. At any corpus size the output is
+    * |sources|·|pcts| rows; the sort is per-source (never global), the
+    * same skew posture as every rank-family operator. */
+  def lengthPercentiles(documents: DataFrame, pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), s"bad percents: $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = documents
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(
+        bySource.orderBy(col("n_chars").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(bySource))
+    ranked
+      .withColumn("pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+      .filter(col("rn") === expr("(pct * n_docs + 99) div 100"))
+      .select(col("source"), col("pct"), col("n_chars").as("value"), col("n_docs"))
+  }
 }

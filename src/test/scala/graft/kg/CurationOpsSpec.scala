@@ -173,4 +173,28 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotMap === ref)
   }
+
+  test("lengthPercentiles: hand-computed rank picks, p100 = max, p1 = min") {
+    // lengths 10,20,30,40,50 under one source: ceil-rank semantics
+    val docs = (1L to 5L).map(i => (i, "s", i * 10L)).toDF("doc_id", "source", "n_chars")
+    val out = graft.ops.TextAnalysis.lengthPercentiles(docs, Seq(1, 50, 90, 100))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // ranks: ceil(.01*5)=1, ceil(.5*5)=3, ceil(.9*5)=5, ceil(1*5)=5
+    assert(out === Map(1L -> 10L, 50L -> 30L, 90L -> 50L, 100L -> 50L))
+  }
+
+  test("lengthPercentiles: per-source windows stay parallel, |sources|x|pcts| rows") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.ops.TextAnalysis.lengthPercentiles(d)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"percentile sort must be per-source:\n$plan")
+    val nSources = d.select("source").distinct().count()
+    assert(out.count() === nSources * 3)
+    // monotone: p50 <= p90 <= p99 within each source
+    val bySrc = out.collect().groupBy(_.getString(0))
+    assert(bySrc.values.forall { rs =>
+      val m = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      m(50L) <= m(90L) && m(90L) <= m(99L)
+    })
+  }
 }

@@ -801,6 +801,11 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) =>
       Sessions.funnel(t(s, dir, "events"), FunnelSteps)),
 
+    // deadline variant: later steps must land within FunnelWindowSeconds
+    // of the step-1 anchor
+    "q_funnel_window" -> ((s, dir) =>
+      Sessions.funnel(t(s, dir, "events"), FunnelSteps, Some(FunnelWindowSeconds))),
+
     // weekly cohort retention: exact integral epoch weeks, user-keyed
     // window for the cohort, one aggregate on (cohort, offset)
     "q_retention" -> ((s, dir) =>
@@ -935,6 +940,11 @@ object SparkEntry {
 
   /** Funnel step sequence over the events table's type vocabulary. */
   private val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** Deadline for the windowed funnel: 24 h of the step-1 anchor (splits
+    * the sf corpora into a genuine mix of depths: 9/3/3 users at
+    * sf0.001). */
+  private val FunnelWindowSeconds = 86400L
 
   /** Percentile list (integer percents) for the length-distribution
     * summary — one constant feeds both engines. */
@@ -1908,6 +1918,28 @@ object SparkEntry {
          w2 AS (SELECT *, MIN(CASE WHEN event_type = '${FunnelSteps(1)}' AND ep > s1 THEN ep END)
                OVER (PARTITION BY user_id) AS s2 FROM w1),
          w3 AS (SELECT *, MIN(CASE WHEN event_type = '${FunnelSteps(2)}' AND ep > s2 THEN ep END)
+               OVER (PARTITION BY user_id) AS s3 FROM w2)
+         SELECT user_id,
+           CAST(MIN(s1) AS BIGINT) AS step1_us,
+           CAST(MIN(s2) AS BIGINT) AS step2_us,
+           CAST(MIN(s3) AS BIGINT) AS step3_us,
+           CAST(CASE WHEN MIN(s3) IS NOT NULL THEN 3
+                     WHEN MIN(s2) IS NOT NULL THEN 2
+                     WHEN MIN(s1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
+         FROM w3 GROUP BY user_id""",
+
+    // deadline funnel: the same chain with the step-1-anchor window bound
+    // on every later step
+    "q_funnel_window" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ep FROM events),
+         w1 AS (SELECT user_id, event_type, ep,
+             MIN(CASE WHEN event_type = '${FunnelSteps(0)}' THEN ep END)
+               OVER (PARTITION BY user_id) AS s1 FROM e),
+         w2 AS (SELECT *, MIN(CASE WHEN event_type = '${FunnelSteps(1)}' AND ep > s1
+                 AND ep <= s1 + ${FunnelWindowSeconds}::BIGINT * 1000000 THEN ep END)
+               OVER (PARTITION BY user_id) AS s2 FROM w1),
+         w3 AS (SELECT *, MIN(CASE WHEN event_type = '${FunnelSteps(2)}' AND ep > s2
+                 AND ep <= s1 + ${FunnelWindowSeconds}::BIGINT * 1000000 THEN ep END)
                OVER (PARTITION BY user_id) AS s3 FROM w2)
          SELECT user_id,
            CAST(MIN(s1) AS BIGINT) AS step1_us,

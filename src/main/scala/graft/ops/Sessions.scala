@@ -54,12 +54,16 @@ object Sessions {
   /** Ordered-funnel analysis (the windowFunnel shape): for each user, the
     * earliest time step 1 occurred, the earliest step-2 time strictly
     * after it, and so on — one nullable epoch-micros column per step plus
-    * the deepest step reached. Each step is a partition-frame window
-    * minimum conditioned on the previous step's column, so the N-step
-    * funnel is N window expressions over ONE user-keyed exchange and a
-    * final per-user aggregate on the same partitioning — no self-joins,
-    * no per-user event buffering. */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    * the deepest step reached. With `windowSeconds` set, later steps must
+    * also land within that deadline of the step-1 anchor (the earliest
+    * step-1 occurrence — a deterministic simplification of ClickHouse's
+    * try-every-anchor windowFunnel, documented as such). Each step is a
+    * partition-frame window minimum conditioned on the previous step's
+    * column, so the N-step funnel is N window expressions over ONE
+    * user-keyed exchange and a final per-user aggregate on the same
+    * partitioning — no self-joins, no per-user event buffering. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      windowSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val byUser = Window.partitionBy(col("user_id"))
     val epochUs = unix_micros(col("ts").cast("timestamp"))
@@ -67,7 +71,10 @@ object Sessions {
       events.select(col("user_id"), col("event_type"), epochUs.as("ep"))) {
       case (df, (step, i)) =>
         val cond = if (i == 0) col("event_type") === step
-                   else col("event_type") === step && col("ep") > col(s"step${i}_us")
+                   else windowSeconds.foldLeft(
+                     col("event_type") === step && col("ep") > col(s"step${i}_us")) {
+                     (c, w) => c && col("ep") <= col("step1_us") + lit(w * 1000000L)
+                   }
         df.withColumn(s"step${i + 1}_us", min(when(cond, col("ep"))).over(byUser))
     }
     val stepCols = steps.indices.map(i => col(s"step${i + 1}_us"))

@@ -84,6 +84,27 @@ class SessionsSpec extends AnyFunSuite {
     assert(r.isNullAt(3) && r.getLong(4) === 2L)
   }
 
+  test("funnel with deadline: late steps beyond the step-1 anchor window are cut") {
+    val events = Seq(
+      // user 10: click inside the 60 s window, purchase outside it
+      (1L, 10L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 10L, ts("2024-01-01 00:00:30"), "click"),
+      (3L, 10L, ts("2024-01-01 00:02:00"), "purchase"),
+      // user 20: full funnel inside the window (boundary: exactly 60 s OK)
+      (4L, 20L, ts("2024-01-01 00:00:00"), "view"),
+      (5L, 20L, ts("2024-01-01 00:00:30"), "click"),
+      (6L, 20L, ts("2024-01-01 00:01:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.ops.Sessions
+      .funnel(events, Seq("view", "click", "purchase"), windowSeconds = Some(60L))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out === Map(10L -> 2L, 20L -> 3L))
+    // without the deadline both users complete
+    val open = graft.ops.Sessions.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(open === Map(10L -> 3L, 20L -> 3L))
+  }
+
   test("retention: hand-computed weekly cohort matrix") {
     val w = 604800L // seconds per week
     def at(weeks: Long, sec: Long) = new Timestamp((weeks * w + sec) * 1000L)

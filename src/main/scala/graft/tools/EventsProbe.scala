@@ -63,6 +63,21 @@ object EventsProbe {
     require(funnels == copies * baseUsers,
       s"funnel is one row per user: $funnels vs ${copies * baseUsers}")
 
+    // deadline funnel: per-user depth counts must replicate exactly
+    def depths(df: DataFrame): Map[Long, Long] =
+      df.groupBy("reached").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseDepths = depths(
+      graft.ops.Sessions.funnel(ev, Seq("view", "click", "purchase"), Some(86400L)))
+    var gotDepths = Map.empty[Long, Long]
+    timed("funnel_win") {
+      gotDepths = depths(
+        graft.ops.Sessions.funnel(big, Seq("view", "click", "purchase"), Some(86400L)))
+      gotDepths.values.sum
+    }
+    require(gotDepths == baseDepths.map { case (k, v) => k -> v * copies },
+      s"deadline-funnel depth mix must replicate: $gotDepths vs $baseDepths x$copies")
+
     val retRow = graft.ops.Sessions.retention(big)
     val ret = timed("retention") { retRow.count() }
     val retUsers = retRow.agg(sum("n_users")).head.getLong(0)
@@ -75,7 +90,7 @@ object EventsProbe {
     val kSum = props.agg(sum("k_sum")).head.getLong(0)
     require(kSum == copies * baseKSum, s"k mass must be linear: $kSum vs ${copies * baseKSum}")
 
-    println(s"probe OK: all four event-analytics outputs match their ${copies}x closed forms")
+    println(s"probe OK: all five event-analytics outputs match their ${copies}x closed forms")
     spark.stop()
   }
 }

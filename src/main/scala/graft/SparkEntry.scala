@@ -105,6 +105,133 @@ object SparkEntry {
     def centroids(s: SparkSession, dir: String): Array[Array[Double]] = cache.get(s, dir)
   }
 
+  /** The SHARED verified ANN near-dup PAIR table — [[SigCache]]'s contract
+    * for the banded-LSH family: banding + in-bucket expansion + exact-cosine
+    * verify run ONCE per (session, dir) at the LOWEST battery threshold
+    * (0.2, `q_ann_knn`'s), and every consumer reads the materialized
+    * survivors. The verify threshold only gates the FINAL filter on the
+    * round-4 cosine (banding/bucketing/rounding are threshold-independent),
+    * so pairs(τ) ≡ pairs(0.2).filter(cosine ≥ τ) bit-exactly for any
+    * τ ≥ 0.2 — `q_ann_pairs` (τ = 0.3) is that filter. At 100 TB the
+    * verified pair table is a written artifact consumed by the pair report,
+    * the kNN join, and any cluster build — not a per-query recompute. */
+  private object AnnPairsCache {
+    private val cache = new SessionDirCache[DataFrame]((s, dir) =>
+      Similarity.annCandidatePairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.2).localCheckpoint())
+    def pairs(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
+  }
+
+  /** The SHARED md5-shingle LSH candidate-pair table over [[SigCache]]'s
+    * signatures: the banding shuffle + bounded in-bucket expansion run ONCE
+    * per (session, dir) and every consumer (`q_lsh_pairs`,
+    * `q_dedup_clusters`, `q_ngram_jaccard_lsh`, `q_curation_pipeline`)
+    * reads the materialized pair table — the next layer of the write-once
+    * contract: at scale the candidate pairs are a written table from the
+    * dedup job, not recomputed per downstream query. */
+  private object LshPairsCache {
+    private val cache = new SessionDirCache[DataFrame]((s, dir) =>
+      Dedup.lshCandidatePairsFromSigs(
+        SigCache.sigs(s, dir).select(col("doc_id"), col("h1"), col("h2")))
+        .localCheckpoint())
+    def pairs(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
+  }
+
+  /** The SHARED span-hash document-frequency table over [[SpanCache]]'s
+    * spans — consumed by `q_dup_spans` AND `q_dup_intervals` (identical
+    * distinct+groupBy in both); computed once per (session, dir). */
+  private object SpanFreqCache {
+    private val cache = new SessionDirCache[DataFrame]((s, dir) =>
+      graft.ops.TextAnalysis.spanDocFreq(SpanCache.spans(s, dir)).localCheckpoint())
+    def freq(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
+  }
+
+  /** The SHARED `(token, cnt, first_doc)` vocabulary aggregate — the
+    * corpus vocabulary table every vocab consumer derives from
+    * (`q_vocab_build` ranks it, `q_vocab_prune` filters + ranks,
+    * `q_vocab_lookup_join` filters + ranks + probes). One explode +
+    * groupBy per corpus; at 100 TB the vocabulary is a written artifact of
+    * the vocab-build job, which downstream jobs read. */
+  private object TokAggCache {
+    private val cache = new SessionDirCache[DataFrame]((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
+        .localCheckpoint())
+    def agg(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
+  }
+
+  /** The SHARED winnow-fingerprint table (doc_id, fingerprint) — computed
+    * once per (session, dir) and consumed by both winnow queries
+    * (cluster rollup + candidate-pair banding); the rolling-hash kernel
+    * over the full corpus runs once, same contract as [[SigCache]]. */
+  private object WinnowCache {
+    private val cache = new SessionDirCache[DataFrame]((s, dir) =>
+      graft.ops.TextAnalysis.winnowFingerprints(
+        s, s.read.parquet(s"$dir/documents.parquet")).localCheckpoint())
+    def fps(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
+  }
+
+  /** The SHARED synthesized-container media table and its parsed-header
+    * metadata — five battery queries consume one or both
+    * (`q_media_decode/frames/resize/features` the metadata,
+    * `q_media_features` also the payloads). Synthesis + the header parse
+    * run once per (session, dir); at scale the parsed-metadata table is a
+    * written artifact of the ingest job. (`q_media_meta` keeps its own
+    * mediaTable — different payloads by design.) */
+  private object MediaCache {
+    private val synthCache = new SessionDirCache[DataFrame]((s, dir) =>
+      Multimodal.mediaTableSynth(
+        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint())
+    private val metaCache = new SessionDirCache[DataFrame]((s, dir) =>
+      Multimodal.extractMeta(s, synthCache.get(s, dir)).localCheckpoint())
+    def synth(s: SparkSession, dir: String): DataFrame = synthCache.get(s, dir)
+    def meta(s: SparkSession, dir: String): DataFrame = metaCache.get(s, dir)
+  }
+
+  /** The default scoring bundle, built ONCE on the driver (deterministic —
+    * frozen vocab + fixture weights) and broadcast ONCE per session. A
+    * dozen battery queries each rebuilt and re-broadcast the identical
+    * bundle; on a cluster the side-input broadcast is shipped once per
+    * application, not once per job. Queries exercising a DIFFERENT bundle
+    * path (kg_senna_score's preloaded table, kg_eval_report's
+    * saved+reloaded deploy round trip) keep their own. */
+  private object BundleCache {
+    lazy val bundle: Pipeline.ScoringBundle = Pipeline.buildBundle()
+    private val cache =
+      new SessionDirCache[org.apache.spark.broadcast.Broadcast[Pipeline.ScoringBundle]](
+        (s, _) => s.sparkContext.broadcast(bundle))
+    def bc(s: SparkSession): org.apache.spark.broadcast.Broadcast[Pipeline.ScoringBundle] =
+      cache.get(s, "")
+  }
+
+  /** The SHARED full-training splits: extractSequences over the same
+    * (42L-seeded) 0–200 / 200–260 example ranges feeds FOUR train queries
+    * (full, gru, stack, conv) and the mut variants — featurization runs
+    * once per session and each trainer consumes the materialized rows.
+    * localCheckpoint preserves partition count and in-partition row order,
+    * so the per-partition gradient accumulation (and thus every epoch log)
+    * is bit-identical to a fresh extraction — asserted by the content pins
+    * in GoldenQuerySpec. */
+  private object TrainSeqCache {
+    private val cache =
+      new SessionDirCache[(org.apache.spark.sql.Dataset[graft.kg.Trainer.SeqRow],
+                           org.apache.spark.sql.Dataset[graft.kg.Trainer.SeqRow])]((s, _) => {
+        import s.implicits._
+        val bundleBc = BundleCache.bc(s)
+        val tr = graft.kg.Trainer.extractSequences(s,
+          s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+          .localCheckpoint()
+        val dv = graft.kg.Trainer.extractSequences(s,
+          s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+          .localCheckpoint()
+        (tr, dv)
+      })
+    def trainDev(s: SparkSession): (org.apache.spark.sql.Dataset[graft.kg.Trainer.SeqRow],
+        org.apache.spark.sql.Dataset[graft.kg.Trainer.SeqRow]) = cache.get(s, "")
+  }
+
   /** Flagship: the full KG-construction pipeline (pages → extract → segment
     * → mention-detect → featurize → score → mask → link → dedup) over the
     * deterministic synthetic corpus. */
@@ -127,7 +254,10 @@ object SparkEntry {
       val outDir = java.nio.file.Files.createTempDirectory("graft-flagship-table").toString
       try {
         val snap = graft.kg.Lineage.nextSnapshotId(outDir, "pages")
-        Pipeline.generatePages(s, 300L, withText = true)
+        // 4 partitions: 300 tiny pages in 32 session-parallelism files is
+        // pure commit overhead (guide §6 small-files); page content is a
+        // pure function of (seed, i) — partitioning never changes the rows
+        Pipeline.generatePages(s, 300L, partitions = 4, withText = true)
           .write.mode("overwrite")
           .parquet(graft.kg.Lineage.snapshotDataDir(outDir, "pages", snap))
         graft.kg.Lineage.writeSnapshot(outDir, "pages", 300L, snap)
@@ -140,11 +270,13 @@ object SparkEntry {
     // the deterministic scored pairs (pre-link) and the entity dict are
     // frozen to OracleFixtureDir, the Spark side links+dedups the READ-BACK,
     // and DuckDB recomputes the same join+aggregate over the same bytes.
-    // Output is identical to extractTriples(salted = true) (pin unchanged).
+    // The former content pin was REPLACED by this relational-tail oracle
+    // (LSTM content stays covered by kg_flagship's pin); the output matches
+    // extractTriples(salted = true) over the same pages by construction.
     "kg_salted_link" -> ((s, _) => {
       import s.implicits._
       val fix = OracleFixtureDir
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val bundleBc = BundleCache.bc(s)
       Pipeline.scorePages(s, Pipeline.generatePages(s, 120L), bundleBc)
         .toDF().coalesce(1).write.mode("overwrite").parquet(s"$fix/scored_120.parquet")
       Pipeline.entityDict(s).coalesce(1).write.mode("overwrite").parquet(s"$fix/entity_dict.parquet")
@@ -193,7 +325,7 @@ object SparkEntry {
     // is oracle-checked (the LSTM scoring stays content-pinned)
     "kg_error_by_length" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val bundleBc = BundleCache.bc(s)
       val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
       graft.kg.Evaluate.scoreExamples(s, examples, bundleBc).toDF()
         .select(col("id"), col("length"), col("pred"), col("targ"))
@@ -207,7 +339,7 @@ object SparkEntry {
     // subject/object + NER, gold + pred, path length, per-token rows
     "kg_error_dump" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val bundleBc = BundleCache.bc(s)
       val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
       graft.kg.Evaluate.errorAnalysisDump(s, examples, bundleBc).toDF()
         .select(col("id"), col("sentence"), col("subject"), col("subjectNer"),
@@ -250,7 +382,7 @@ object SparkEntry {
     // selection (best dev precision gated on f1 > 0.3)
     "kg_train_readout" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val bundleBc = BundleCache.bc(s)
       val trainFeat = graft.kg.Trainer.extractFeatures(s,
         s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
       val devFeat = graft.kg.Trainer.extractFeatures(s,
@@ -265,11 +397,8 @@ object SparkEntry {
     // kernel finite-difference-checked (BackpropSpec)
     "kg_train_full" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
-      val trainSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
-      val devSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val bundleBc = BundleCache.bc(s)
+      val (trainSeq, devSeq) = TrainSeqCache.trainDev(s)
       graft.kg.Trainer.trainFull(s, trainSeq, devSeq, bundleBc, epochs = 5)
         .log.toDF()
     }),
@@ -279,11 +408,8 @@ object SparkEntry {
     // clipnorm-25 lifecycle, gradient kernel FD-checked (BackpropSpec)
     "kg_train_gru" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
-      val trainSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
-      val devSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val bundleBc = BundleCache.bc(s)
+      val (trainSeq, devSeq) = TrainSeqCache.trainDev(s)
       graft.kg.Trainer.trainFullGru(s, trainSeq, devSeq, bundleBc, epochs = 5)
         .log.toDF()
     }),
@@ -293,11 +419,8 @@ object SparkEntry {
     // layer 1 receiving per-timestep gradients (BackpropStack, FD-checked)
     "kg_train_stack" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
-      val trainSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
-      val devSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val bundleBc = BundleCache.bc(s)
+      val (trainSeq, devSeq) = TrainSeqCache.trainDev(s)
       graft.kg.Trainer.trainFullStacked(s, trainSeq, devSeq, bundleBc, epochs = 4)
         .log.toDF()
     }),
@@ -307,11 +430,8 @@ object SparkEntry {
     // including the degenerate short-sequence rules)
     "kg_train_conv" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
-      val trainSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
-      val devSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val bundleBc = BundleCache.bc(s)
+      val (trainSeq, devSeq) = TrainSeqCache.trainDev(s)
       graft.kg.Trainer.trainFullConv(s, trainSeq, devSeq, bundleBc, epochs = 4)
         .log.toDF()
     }),
@@ -321,7 +441,7 @@ object SparkEntry {
     // LSTM layers, trained end to end (BackpropConcat, FD-checked)
     "kg_train_concat" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val bundleBc = BundleCache.bc(s)
       val trainCh = graft.kg.Trainer.extractChannels(s,
         s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
       val devCh = graft.kg.Trainer.extractChannels(s,
@@ -335,11 +455,8 @@ object SparkEntry {
     // variant); one epoch-log row per (variant, epoch)
     "kg_train_mut" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
-      val trainSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
-      val devSeq = graft.kg.Trainer.extractSequences(s,
-        s.range(200, 260).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val bundleBc = BundleCache.bc(s)
+      val (trainSeq, devSeq) = TrainSeqCache.trainDev(s)
       (1 to 3).map { variant =>
         graft.kg.Trainer.trainFullMut(s, variant, trainSeq, devSeq, bundleBc, epochs = 3)
           .log.toDF().withColumn("variant", lit(variant))
@@ -350,7 +467,7 @@ object SparkEntry {
     // same labeled split (sent channel for single*, 4-channel for concat)
     "kg_model_zoo" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val bundleBc = BundleCache.bc(s)
       val examples = s.range(150).map(i => graft.kg.Gen.labeledExample(42L, i))
       graft.kg.Evaluate.zooSummary(s, examples, bundleBc, Seq(
         graft.kg.Models.ModelConfig("single_small", "lstm"),
@@ -366,7 +483,7 @@ object SparkEntry {
     // dependency path → interleaved sequence → LSTM → masked argmax
     "kg_singlepath" -> ((s, _) => {
       import s.implicits._
-      val bundleBc = s.sparkContext.broadcast(Pipeline.buildBundle())
+      val bundleBc = BundleCache.bc(s)
       val examples = s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i))
       graft.kg.Evaluate.scoreSinglePath(s, examples, bundleBc).toDF()
         .filter(col("pred") =!= "no_relation")
@@ -390,23 +507,15 @@ object SparkEntry {
     // The id rank is the two-phase DISTRIBUTED row_number (Rank.scala) —
     // a global Window.orderBy would drag every distinct token of the corpus
     // through one partition (billions of rows at web scale).
-    "q_vocab_build" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val agg = tok.groupBy(col("token"))
-        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
-      graft.ops.Rank.globalRowNumber(agg, Seq(col("first_doc"), col("token")), "token_id")
-    }),
+    "q_vocab_build" -> ((s, dir) =>
+      graft.ops.Rank.globalRowNumber(TokAggCache.agg(s, dir),
+        Seq(col("first_doc"), col("token")), "token_id")),
 
     // A2 rare-word pruning: cnt > 2, ids re-ranked in original order
-    "q_vocab_prune" -> ((s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val agg = tok.groupBy(col("token"))
-        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
-        .filter(col("cnt") > 2)
-      graft.ops.Rank.globalRowNumber(agg, Seq(col("first_doc"), col("token")), "token_id")
-    }),
+    "q_vocab_prune" -> ((s, dir) =>
+      graft.ops.Rank.globalRowNumber(
+        TokAggCache.agg(s, dir).filter(col("cnt") > 2),
+        Seq(col("first_doc"), col("token")), "token_id")),
 
     // A3 label histogram
     "q_label_histogram" -> ((s, dir) =>
@@ -602,16 +711,15 @@ object SparkEntry {
     // production 64-bit form (xxhash64 slots; exact oracle via the HUGEINT
     // mod-2^64 XXH64 port in OracleHashSql)
     "q_minhash_sig64" -> ((s, dir) => Dedup.minhashSignatures64(t(s, dir, "documents"))),
-    "q_lsh_pairs" -> ((s, dir) =>
-      Dedup.lshCandidatePairsFromSigs(
-        SigCache.sigs(s, dir).select(col("doc_id"), col("h1"), col("h2")))),
+    "q_lsh_pairs" -> ((s, dir) => LshPairsCache.pairs(s, dir)),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))
       .withColumn("hamming", col("hamming").cast("long"))),
     // near-dup clusters: LSH pairs → connected components (min-label
     // propagation); exact oracle via DuckDB recursive CTE
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(t(s, dir, "documents"),
-        sigs = Some(SigCache.sigs(s, dir)))),
+        sigs = Some(SigCache.sigs(s, dir)),
+        pairs = Some(LshPairsCache.pairs(s, dir)))),
     // graph components over the customer–order bipartite graph via
     // large-star/small-star (the O(log n)-round deep-graph algorithm)
     "q_graph_components" -> ((s, dir) => {
@@ -631,7 +739,7 @@ object SparkEntry {
     // no quadratic stage, no cap
     "q_ngram_jaccard_lsh" -> ((s, dir) =>
       Dedup.ngramJaccardForPairs(t(s, dir, "documents"),
-        Dedup.lshCandidatePairsFromSigs(SigCache.sigs(s, dir)))),
+        LshPairsCache.pairs(s, dir))),
     // benchmark decontamination: every 97th doc plays the eval set; docs
     // sharing any 5-gram with it (the set itself + its near-verbatim dups)
     // are dropped before training
@@ -653,10 +761,12 @@ object SparkEntry {
     // duplicated-span statistics: fixed-length (20-token) approximation of
     // exact substring dedup — per-doc fraction of span positions whose
     // span recurs verbatim in another document
-    "q_dup_spans" -> ((s, dir) => TextAnalysis.dupSpanStatsFromSpans(SpanCache.spans(s, dir))),
+    "q_dup_spans" -> ((s, dir) => TextAnalysis.dupSpanStatsFromSpans(
+      SpanCache.spans(s, dir), docFreqOpt = Some(SpanFreqCache.freq(s, dir)))),
     // maximal duplicated-token INTERVALS (the ranges exact-substring dedup
     // would cut) — gaps-and-islands over the same shared span table
-    "q_dup_intervals" -> ((s, dir) => TextAnalysis.dupSpanIntervals(SpanCache.spans(s, dir))),
+    "q_dup_intervals" -> ((s, dir) => TextAnalysis.dupSpanIntervals(
+      SpanCache.spans(s, dir), docFreqOpt = Some(SpanFreqCache.freq(s, dir)))),
     // the dedup ACTION: cut every duplicated 20-token range, keep the
     // lexicographic-first occurrence; row-local splice + cleaned-text digest
     "q_dedup_cut" -> ((s, dir) =>
@@ -737,10 +847,14 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 150, 0.3)),
     // the 100 TB forms: banded sign-LSH pair generation + batch kNN over the
     // FULL table (no id cap) — no cross join anywhere in the plan
+    // both ride the shared verified pair table (AnnPairsCache, built at
+    // τ = 0.2): the τ = 0.3 pair report is the exact filter of it (the
+    // threshold only gates the final compare on the round-4 cosine)
     "q_ann_pairs" -> ((s, dir) =>
-      Similarity.annCandidatePairs(t(s, dir, "embeddings"), 0.3)),
+      AnnPairsCache.pairs(s, dir).filter(col("cosine") >= 0.3)),
     "q_ann_knn" -> ((s, dir) =>
-      Similarity.annTopKJoin(t(s, dir, "embeddings"), k = 1, minCosine = 0.2)),
+      Similarity.annTopKJoin(t(s, dir, "embeddings"), k = 1, minCosine = 0.2,
+        precomputedPairs = Some(AnnPairsCache.pairs(s, dir)))),
     // SemDeDup: fixed-point k-means clusters (shared with the IVF family
     // via CentroidCache) + within-cluster cosine pruning -> keep-list
     "q_semdedup" -> ((s, dir) =>
@@ -760,7 +874,8 @@ object SparkEntry {
     // composed curation pipeline: lang filter → quality gates → near-dup drop
     "q_curation_pipeline" -> ((s, dir) =>
       TextAnalysis.curationPipeline(t(s, dir, "documents"),
-        sigs = Some(SigCache.sigs(s, dir)))),
+        sigs = Some(SigCache.sigs(s, dir)),
+        pairs = Some(LshPairsCache.pairs(s, dir)))),
     // Count-Min sketch point queries for the stopword candidates
     "q_cms_estimate" -> ((s, dir) => TextAnalysis.cmsEstimate(t(s, dir, "documents"),
       TextAnalysis.stopwords.toSeq.sortBy(_._1).flatMap(_._2).distinct)),
@@ -768,14 +883,15 @@ object SparkEntry {
     // winnowing (rolling-hash) fingerprint clusters over the FULL corpus:
     // docs sharing substrings of length >= w+k-1 share a fingerprint
     "q_winnow_clusters" -> ((s, dir) =>
-      TextAnalysis.winnowFingerprints(s, t(s, dir, "documents"))
+      WinnowCache.fps(s, dir)
         .groupBy(col("fingerprint"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") > 1)
         .groupBy(col("n_docs")).agg(count(lit(1)).as("n_fingerprints"))),
     // winnow near-dup candidate pairs, full corpus, bucket-bounded kernel
     "q_winnow_pairs" -> ((s, dir) =>
-      TextAnalysis.winnowCandidatePairs(s, t(s, dir, "documents"))),
+      TextAnalysis.winnowCandidatePairs(s, t(s, dir, "documents"),
+        fingerprints = Some(WinnowCache.fps(s, dir)))),
     // corpus-frequency rarity score (division-exact CCNet-style signal)
     "q_rarity_score" -> ((s, dir) => TextAnalysis.rarityScore(t(s, dir, "documents"))),
     // source/domain-level curation gate (RefinedWeb-style whole-source drop)
@@ -826,21 +942,19 @@ object SparkEntry {
     // readers — the oracle recomputes format/dims/length from the content
     // length, so a wrong offset or endianness breaks the hash
     "q_media_decode" -> ((s, dir) =>
-      Multimodal.extractMeta(s, Multimodal.mediaTableSynth(t(s, dir, "documents")))
+      MediaCache.meta(s, dir)
         .select(col("doc_id"), col("format"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
           col("byte_len").cast("long").as("byte_len"))),
     "q_media_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(
-        Multimodal.extractMeta(s, Multimodal.mediaTableSynth(t(s, dir, "documents"))))
+      Multimodal.sampleFrames(MediaCache.meta(s, dir))
         .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
           col("frame_idx").cast("long").as("frame_idx"))),
     // resize planning (letterbox math) over the PARSED dims
     "q_media_resize" -> ((s, dir) =>
-      Multimodal.resizePlan(
-        Multimodal.extractMeta(s, Multimodal.mediaTableSynth(t(s, dir, "documents"))))
+      Multimodal.resizePlan(MediaCache.meta(s, dir))
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("scale"),
           col("out_w").cast("long").as("out_w"),
@@ -850,8 +964,8 @@ object SparkEntry {
     // parsed dims + the frame's decoded payload bytes, so the oracle
     // recomputes the full 16-dim vector from the documents table
     "q_media_features" -> ((s, dir) => {
-      val media = Multimodal.mediaTableSynth(t(s, dir, "documents"))
-      val meta = Multimodal.extractMeta(s, media)
+      val media = MediaCache.synth(s, dir)
+      val meta = MediaCache.meta(s, dir)
       Multimodal.frameFeatures(s, Multimodal.sampleFrames(meta), media)
         .select(Seq(col("doc_id"), col("frame_idx").cast("long").as("frame_idx")) ++
           (0 until 16).map(i =>
@@ -872,13 +986,15 @@ object SparkEntry {
     "kg_stream_triples" -> ((s, _) => {
       val pagesDir = java.nio.file.Files.createTempDirectory("graft-stream-pages").toString
       try {
-        Pipeline.generatePages(s, 100, withText = true)
+        // 4 partitions (was session parallelism = 32 one-row files): fewer
+        // staged files = fewer stream-source list/open costs; rows identical
+        Pipeline.generatePages(s, 100, partitions = 4, withText = true)
           .write.mode("overwrite").parquet(pagesDir)
         // the stream runs synchronously (AvailableNow) and the result is
         // materialized inside streamingKgTriples — safe to clean up. The
         // raw append-only triple table lands in OracleFixtureDir so the
         // compaction/dedup stage is oracle-checked over the same bytes.
-        Streaming.streamingKgTriples(s, pagesDir, Pipeline.buildBundle(),
+        Streaming.streamingKgTriples(s, pagesDir, BundleCache.bundle,
           rawOut = Some(s"$OracleFixtureDir/stream_kg"))
       } finally graft.kg.Lineage.deleteRecursively(pagesDir)
     }),
@@ -887,9 +1003,7 @@ object SparkEntry {
     "q_vocab_lookup_join" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val agg = tok.groupBy(col("token"))
-        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
-        .filter(col("cnt") > 30)
+      val agg = TokAggCache.agg(s, dir).filter(col("cnt") > 30)
       val vocab = graft.ops.Rank
         .globalRowNumber(agg, Seq(col("first_doc"), col("token")), "token_id")
         .select(col("token"), col("token_id"))

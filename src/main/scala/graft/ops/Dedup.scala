@@ -314,21 +314,26 @@ object Dedup {
     var sig = tableSignature(edges, "u", "v")
     var converged = sig._1 == 0L
     var it = 0
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     while (!converged && it < maxIter) {
-      // large-star: m(u) = min(N(u) ∪ {u}); for (u,v) with v > u: edge (v, m)
+      // large-star: m(u) = min(N(u) ∪ {u}); for (u,v) with v > u: edge (v, m).
+      // The per-neighborhood minimum is a window min over ONE u-keyed
+      // exchange — the groupBy + join form paid two exchanges of the
+      // symmetric edge list per star step (guide §2.4: two operations keyed
+      // the same way share one exchange). min is duplicate-insensitive and
+      // the round's output passes through canon's distinct, so the emitted
+      // edge SET is identical; the intermediate needs no distinct and no
+      // checkpoint of its own (single consumer). For (u, v > u): m ≤ u < v,
+      // so (v, m) is already canonically oriented and never a self-loop.
       val sym = edges.select(col("u"), col("v"))
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy(col("u"))
-        .agg(least(min(col("v")), col("u")).as("m"))
-      val large = canon(sym.join(mins, Seq("u"))
+      val large = sym
+        .withColumn("m", least(min(col("v")).over(byU), col("u")))
         .filter(col("v") > col("u"))
-        .select(col("v").as("a"), col("m").as("b")))
-        .localCheckpoint()
-      // small-star over canonical (u,v<u): m = min(los ∪ {u}); attach u and
-      // every lo to m
-      val sMins = large.groupBy(col("u"))
-        .agg(least(min(col("v")), col("u")).as("m"))
-      val withM = large.join(sMins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star over canonical (u, v < u): m = min(los ∪ {u}) = min(v)
+      // within the u-window (every v < u); attach u and every lo to m
+      val withM = large.withColumn("m", min(col("v")).over(byU))
       val small = canon(
         withM.select(col("v").as("a"), col("m").as("b"))
           .unionByName(withM.select(col("u").as("a"), col("m").as("b"))))
@@ -360,14 +365,15 @@ object Dedup {
     * Labels are identical to min-label propagation at the fixed point
     * (both emit the component-minimum id — asserted in ScaleOpsSpec). */
   def nearDupClusters(documents: DataFrame, maxBucket: Int = 10000,
-      sigs: Option[DataFrame] = None): DataFrame = {
-    val pairs = sigs
-      .map(sg => lshCandidatePairsFromSigs(
-        sg.select(col("doc_id"), col("h1"), col("h2")), maxBucket))
+      sigs: Option[DataFrame] = None,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val pairEdges = pairs
+      .orElse(sigs.map(sg => lshCandidatePairsFromSigs(
+        sg.select(col("doc_id"), col("h1"), col("h2")), maxBucket)))
       .getOrElse(lshCandidatePairs(documents, maxBucket))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val nodes = documents.select(col("doc_id").as("node"))
-    connectedComponentsStar(pairs, nodes)
+    connectedComponentsStar(pairEdges, nodes)
       .select(col("node").as("doc_id"), col("cluster"))
   }
 

@@ -78,8 +78,11 @@ object Rank {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value.cast("long"))
       .localCheckpoint()
-    // per-partition totals: <= p longs to the driver (metadata-sized)
-    val totals = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("__t"))
+    // per-partition totals: <= p longs to the driver (metadata-sized).
+    // coalesce: a non-empty partition whose cast values are all NULL would
+    // otherwise yield a NULL sum and NPE at getLong
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
     import spark.implicits._

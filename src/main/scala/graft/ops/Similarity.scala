@@ -277,12 +277,19 @@ object Similarity {
     * both-orientations mode instead was measured ~2× slower end to end:
     * it doubles the verify work (the dominant stage) to save a
     * materialization of the small survivor set. cosine(a,b) ≡ cosine(b,a)
-    * bit-exactly, so either form gives identical results. */
+    * bit-exactly, so either form gives identical results.
+    *
+    * `precomputedPairs` supplies an already-materialized verified pair
+    * table for the SAME (embeddings, minCosine, banding) parameters — the
+    * shared-artifact contract of `Dedup.lshCandidatePairsFromSigs`: at
+    * corpus scale the verified near-dup pair table is written once and
+    * every consumer (pair report, kNN join, cluster build) reads it. */
   def annTopKJoin(embeddings: DataFrame, k: Int = 1, minCosine: Double = 0.2,
       bands: Int = 12, planesPerBand: Int = 3, maxBucket: Int = 10000,
-      seed: Long = 7L): DataFrame = {
-    val pairs = annCandidatePairs(embeddings, minCosine, bands, planesPerBand, maxBucket, seed)
-      .localCheckpoint()
+      seed: Long = 7L, precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(
+      annCandidatePairs(embeddings, minCosine, bands, planesPerBand, maxBucket, seed)
+        .localCheckpoint())
     val sym = pairs.unionByName(pairs.select(
       col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
     val w = org.apache.spark.sql.expressions.Window

@@ -190,7 +190,15 @@ object Streaming {
     * actually executed, so tests can assert > 1. */
   def streamingDedup(spark: SparkSession, eventsPath: String,
       maxFilesPerTrigger: Int = 0,
-      batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
+      batchCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      statePartitions: Int = 8): DataFrame = {
+    // statePartitions sizes the stateful shuffle exactly as in
+    // [[windowedEventCounts]]: every micro-batch pays one state-store
+    // commit PER PARTITION, so the session's scan-sized shuffle width (32
+    // here) is pure fixed overhead per batch. Dedup state rows scale with
+    // the distinct-key count, so at genuinely high key cardinality raise
+    // this (it is a knob, not a constant tuned to the local core count);
+    // partitioning never changes WHICH keys survive, only where they live.
     val eventsDir = stageDir(eventsPath)
     val schema = spark.read.parquet(eventsDir).schema
     val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -211,6 +219,9 @@ object Streaming {
     }
     if (batchCounter.isDefined) spark.streams.addListener(listener)
     val out = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       val q = limited.parquet(eventsDir)
       .withColumn("ts", col("ts").cast("timestamp"))
@@ -239,7 +250,10 @@ object Streaming {
         batchCounter.foreach(_.set(counted.get()))
       }
       spark.read.parquet(s"$out/data").localCheckpoint()
-    } finally graft.kg.Lineage.deleteRecursively(out) // also on query failure
+    } finally {                                       // also on query failure
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.kg.Lineage.deleteRecursively(out)
+    }
   }
 
   /** Stage the source's parquet files into a PRIVATE directory (symlinks),

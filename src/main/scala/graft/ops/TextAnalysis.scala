@@ -108,11 +108,18 @@ object TextAnalysis {
         md5(col("span")).as("sh"))
   }
 
-  /** [[dupSpanStats]] over a PRECOMPUTED (materialized) span-digest table. */
-  def dupSpanStatsFromSpans(spans: DataFrame): DataFrame = {
-    val ds = spans.select(col("doc_id"), col("sh"))
-    val docFreq = ds.distinct()
+  /** Span-hash document frequency over a span-digest table — the shared
+    * upstream of [[dupSpanStatsFromSpans]] and [[dupSpanIntervals]];
+    * materialize once per corpus and pass to both (write-once contract). */
+  def spanDocFreq(spans: DataFrame): DataFrame =
+    spans.select(col("doc_id"), col("sh")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+
+  /** [[dupSpanStats]] over a PRECOMPUTED (materialized) span-digest table. */
+  def dupSpanStatsFromSpans(spans: DataFrame,
+      docFreqOpt: Option[DataFrame] = None): DataFrame = {
+    val ds = spans.select(col("doc_id"), col("sh"))
+    val docFreq = docFreqOpt.getOrElse(spanDocFreq(spans))
     ds.join(docFreq, Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -132,14 +139,14 @@ object TextAnalysis {
     * keyed by doc_id for the classic gaps-and-islands grouping
     * (pos − row_number is constant within a consecutive run). No quadratic
     * stage, no per-doc buffers beyond the window sort. */
-  def dupSpanIntervals(spans: DataFrame, n: Int = 20): DataFrame = {
+  def dupSpanIntervals(spans: DataFrame, n: Int = 20,
+      docFreqOpt: Option[DataFrame] = None): DataFrame = {
     // the table knows its own span width ([[spanDigests]] metadata); a
     // caller-passed n that disagrees would yield silently-wrong end_pos
     val posMeta = spans.schema("pos").metadata
     require(!posMeta.contains("span_n") || posMeta.getLong("span_n") == n.toLong,
       s"span table was built with n=${posMeta.getLong("span_n")} but intervals requested n=$n")
-    val docFreq = spans.select(col("doc_id"), col("sh")).distinct()
-      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+    val docFreq = docFreqOpt.getOrElse(spanDocFreq(spans))
     val dup = spans.join(docFreq, Seq("sh")).filter(col("n_docs") > 1)
       .select(col("doc_id"), col("pos"))
     val w = org.apache.spark.sql.expressions.Window
@@ -407,12 +414,15 @@ object TextAnalysis {
     * column, then the plan is built with the right threshold for that n. */
   def winnowCandidatePairs(spark: org.apache.spark.sql.SparkSession,
       documents: DataFrame, k: Int = 8, w: Int = 6, maxDf: Int = 0,
-      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      fingerprints: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val df = if (maxDf > 0) maxDf else maxDfForCorpus(documents.count())
     val dropped = droppedAcc.getOrElse(
       spark.sparkContext.longAccumulator("graft.winnow.dropped_ids"))
-    winnowFingerprints(spark, documents, k, w)
+    // `fingerprints`: a precomputed [[winnowFingerprints]] table — the
+    // write-once shared-artifact contract (same as SigCache/SpanCache)
+    fingerprints.getOrElse(winnowFingerprints(spark, documents, k, w))
       .select(col("fingerprint"), col("doc_id")).as[(Long, Long)]
       .repartition(col("fingerprint"))
       .sortWithinPartitions(col("fingerprint"), col("doc_id"))
@@ -513,7 +523,12 @@ object TextAnalysis {
     val n = documents.count() // one scalar (scan count) — metadata-sized
     val tok = documents.select(col("doc_id"), explode(toks(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .localCheckpoint() // consumed twice: the df rollup below + the join
+    // df = distinct docs containing the token = tf's row count per token —
+    // derived from the materialized tf instead of a second explode+distinct
+    // pass over the corpus (one scan and one wide distinct removed; same
+    // counts by construction)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
     tf.join(df, Seq("token"))
@@ -567,7 +582,8 @@ object TextAnalysis {
     * anti-join; at corpus scale every stage keeps its own documented
     * shape. Exact DuckDB oracle (all components are SQL-expressible). */
   def curationPipeline(documents: DataFrame, minTokens: Int = 8,
-      minStopwordRatio: Double = 0.05, sigs: Option[DataFrame] = None): DataFrame = {
+      minStopwordRatio: Double = 0.05, sigs: Option[DataFrame] = None,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val allStops = stopwords.values.flatten.toSeq
     val nTok = size(toks(col("text")))
     val stopRatio = size(filter(toks(col("text")), t => t.isInCollection(allStops)))
@@ -584,12 +600,13 @@ object TextAnalysis {
       .filter(col("lang_guess") === "en")
       .filter(col("n_tokens") >= minTokens)
       .filter(col("stopword_ratio") >= minStopwordRatio)
-    // near-dup losers from the shared signature table when one is supplied
-    // (computed once per corpus and reused by every consumer — the at-scale
-    // contract of Dedup.lshCandidatePairsFromSigs), else from scratch
-    val dupLosers = sigs
-      .map(sg => graft.ops.Dedup.lshCandidatePairsFromSigs(
-        sg.select(col("doc_id"), col("h1"), col("h2"))))
+    // near-dup losers from the shared candidate-PAIR table when one is
+    // supplied (the banding expansion runs once per corpus and every
+    // consumer reads the written pair table), else from the shared
+    // signature table, else from scratch
+    val dupLosers = pairs
+      .orElse(sigs.map(sg => graft.ops.Dedup.lshCandidatePairsFromSigs(
+        sg.select(col("doc_id"), col("h1"), col("h2")))))
       .getOrElse(graft.ops.Dedup.lshCandidatePairs(documents))
       .select(col("doc_b").as("doc_id")).distinct()
     passed.join(dupLosers, Seq("doc_id"), "left_anti")

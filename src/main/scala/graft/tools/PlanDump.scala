@@ -1,23 +1,49 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Dumps formatted physical plans for selected queries — the review loop
-  * for pushdown/pruning/broadcast/codegen (run after any query change). */
+/** Dump `.explain("formatted")` for a list of battery queries to files —
+  * the plan evidence for OPTIMIZATION_r07.md (plans/r07/<q>_<tag>.txt).
+  *
+  * Args: <outDir> <tag> <query,names,comma-sep>
+  * Session config mirrors graft.Bench (local[$SPARK_GRAFT_CPUS],
+  * shuffle.partitions = cpus, AQE on) so the dumped plans are the plans the
+  * bench actually runs. Queries with eager construction (checkpointed
+  * caches, streaming lifecycles) execute those side effects here exactly as
+  * in the battery; the dumped plan is the final returned DataFrame's.
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_pricing_summary", "q_broadcast_join", "q_large_join", "q_semi_join",
-        "q_topk_docs", "q_dedup_exact", "q_lsh_pairs", "q_embed_topk", "q_vocab_build")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val outDir = args(0)
+    val tag = args(1)
+    val names = args(2).split(",").toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      graft.SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), plan)
+            println(s"[plandump] wrote ${name}_$tag.txt")
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+          }
+        case None => System.err.println(s"[plandump] unknown query: $name")
+      }
     }
     spark.stop()
   }

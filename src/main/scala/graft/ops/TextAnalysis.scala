@@ -585,18 +585,36 @@ object TextAnalysis {
       minStopwordRatio: Double = 0.05, sigs: Option[DataFrame] = None,
       pairs: Option[DataFrame] = None): DataFrame = {
     val allStops = stopwords.values.flatten.toSeq
-    val nTok = size(toks(col("text")))
-    val stopRatio = size(filter(toks(col("text")), t => t.isInCollection(allStops)))
-      .cast("double") / nTok
     val langs = Seq("en", "es", "de", "fr", "zh")
+    // Two-step signal computation (the [[langId]] shape). The old foldLeft
+    // inlined each stopword-HOF count into the when-chain, and every fold
+    // step embeds TWO copies of the previous accumulator — an expression
+    // tree exponential in |langs| carrying the full tokenize+scan HOFs,
+    // past what codegen subexpression elimination rescues (measured
+    // ~370 µs/doc: the signal pass alone took 1.8 s over 5k docs at
+    // sf0.1). Step 1 computes each hit count ONCE as a real column (six
+    // HOF evaluations per row, total); step 2's argmax folds over CHEAP
+    // column references (CollapseProject keeps the split: it refuses to
+    // duplicate non-cheap expressions with multiple references).
+    val hitCols = documents.select(
+      (Seq(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        size(filter(toks(col("text")), t => t.isInCollection(allStops))).as("n_stop")) ++
+        langs.map(l => size(filter(toks(col("text")),
+          t => t.isInCollection(stopwords(l)))).as(s"hits_$l"))): _*)
     val best = langs.foldLeft((lit("und"), lit(0))) { case ((bl, bh), l) =>
-      val hits = size(filter(toks(col("text")), t => t.isInCollection(stopwords(l))))
+      val hits = col(s"hits_$l")
       (when(hits > bh, lit(l)).otherwise(bl), when(hits > bh, hits).otherwise(bh))
     }
-    val passed = documents
-      .withColumn("lang_guess", best._1)
-      .withColumn("n_tokens", nTok.cast("long"))
-      .withColumn("stopword_ratio", stopRatio)
+    // materialization barrier: without it Catalyst pushes the three filters
+    // below the projections and re-inlines the signal expressions into each
+    // (the corpus would pay the scans ~3× per row). 4 narrow cols per doc.
+    val signals = hitCols
+      .select(col("doc_id"), best._1.as("lang_guess"), col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          .as("stopword_ratio"))
+      .localCheckpoint()
+    val passed = signals
       .filter(col("lang_guess") === "en")
       .filter(col("n_tokens") >= minTokens)
       .filter(col("stopword_ratio") >= minStopwordRatio)

@@ -90,13 +90,18 @@ object Streaming {
           .select(col("w.start").cast("timestamp_ntz").as("window_start"),
             col("event_type"), col("n"), col("total_value"))
       val outSchema = aggStream(spark.readStream.schema(schema)).schema
-      // max-ts anchor row (one narrow scan — also the empty-source guard:
-      // zero micro-batches would leave no snapshot and no watermark to
-      // drain, so return the empty typed result directly)
-      val anchor = spark.read.parquet(eventsPath).orderBy(col("ts").desc).limit(1)
-        .localCheckpoint()
-      if (anchor.isEmpty)
+      // max-ts anchor row, collected ONCE (one TakeOrdered job — also the
+      // empty-source guard: zero micro-batches would leave no snapshot and
+      // no watermark to drain, so return the empty typed result directly).
+      // The sentinel writes below start from this driver-held row as a
+      // LocalRelation instead of re-scanning a checkpointed anchor — two
+      // fewer actions inside the drain path.
+      val anchorRows = spark.read.parquet(eventsPath)
+        .orderBy(col("ts").desc).limit(1).collect()
+      if (anchorRows.isEmpty)
         return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      val anchor = spark.createDataFrame(
+        java.util.Arrays.asList(anchorRows(0)), schema)
 
       def runOnce(filesPerTrigger: Int): Unit = {
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")

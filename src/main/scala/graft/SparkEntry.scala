@@ -467,10 +467,25 @@ object SparkEntry {
       import s.implicits._
       val bundleBc = BundleCache.bc(s)
       val (trainSeq, devSeq) = TrainSeqCache.trainDev(s)
-      (1 to 3).map { variant =>
-        graft.kg.Trainer.trainFullMut(s, variant, trainSeq, devSeq, bundleBc, epochs = 3)
-          .log.toDF().withColumn("variant", lit(variant))
-      }.reduce(_ unionByName _)
+      // The three JZS variants are INDEPENDENT trainings over the same
+      // materialized splits — submitted from a small thread pool so each
+      // variant's epoch jobs back-fill executor slots freed by the others'
+      // stragglers (guide §2.6 "overlap independent jobs"). Per-variant
+      // results are bit-identical to the sequential run (the deterministic
+      // pid-ordered gradient merge is a per-job property; job descriptions
+      // are thread-local), and the union order is fixed by code, not by
+      // completion order — asserted by the content pin in GoldenQuerySpec.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        (1 to 3).map { variant =>
+          scala.concurrent.Future(
+            graft.kg.Trainer.trainFullMut(s, variant, trainSeq, devSeq, bundleBc, epochs = 3)
+              .log.toDF().withColumn("variant", lit(variant)))
+        }.map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+          .reduce(_ unionByName _)
+      } finally pool.shutdown()
     }),
 
     // M1 model-zoo dispatch: every model shape × both cell types scores the

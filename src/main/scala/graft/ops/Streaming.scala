@@ -36,16 +36,18 @@ object Streaming {
     *
     * Drain: a bounded batch run ends with the last ~2 windows still open
     * (watermark = maxTs − 1 h never passes them), so after the data run we
-    * perform the standard drain-flush — append two far-future sentinel
-    * rows (reserved [[SentinelType]], +3 h and +6 h) and resume ONCE from
-    * the same checkpoint with `maxFilesPerTrigger = 1`, so each sentinel
-    * file is its own micro-batch (strictly increasing mod-times order
-    * them). Two sentinel batches because eviction in batch k uses the
-    * watermark computed from batches < k: the +3 h batch advances the
-    * watermark past every real window end, the +6 h batch evicts under it.
-    * Sentinel groups are filtered from the read-back; under AvailableNow
-    * the final table equals the batch aggregation exactly, so the DuckDB
-    * oracle is unchanged.
+    * perform the standard drain-flush — append ONE far-future sentinel row
+    * (reserved [[SentinelType]], +3 h) as its own micro-batch. Eviction in
+    * batch k uses the watermark computed from batches < k: the +3 h batch
+    * advances the watermark past every real window end, and the CLOSING
+    * NO-DATA micro-batch the engine runs when the watermark advanced
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`, default true —
+    * required by this drain) evicts under it. This replaces the former
+    * two-sentinel form (one fewer stateful micro-batch per drain; verified
+    * equal to the batch aggregation by the oracle and the multi-batch
+    * PipelineSpec cases). Sentinel groups are filtered from the read-back;
+    * under AvailableNow the final table equals the batch aggregation
+    * exactly, so the DuckDB oracle is unchanged.
     *
     * `maxFilesPerTrigger > 0` rate-limits the source so AvailableNow runs
     * REAL multi-micro-batch execution (append-mode state must carry across
@@ -151,22 +153,20 @@ object Streaming {
 
       val drainBase = System.currentTimeMillis() + 60000 // after every data file
       // With one data file (or an explicit per-file rate limit, where
-      // per-file batching is already the contract), the sentinels can ride
-      // the SAME query lifecycle: rate limit 1 + mod-time order gives
-      // data-batch(es) → s1 batch → s2 batch in one run. Otherwise the
-      // data runs unrestricted first and one rate-limited resume lifecycle
-      // drains (two batches, one per sentinel).
+      // per-file batching is already the contract), the sentinel rides the
+      // SAME query lifecycle: rate limit 1 + mod-time order gives
+      // data-batch(es) → sentinel batch → closing no-data batch in one run.
+      // Otherwise the data runs unrestricted first and one rate-limited
+      // resume lifecycle drains (sentinel batch + no-data batch).
       if (nDataFiles == 1 || maxFilesPerTrigger == 1) {
         writeSentinel(3, drainBase)
-        writeSentinel(6, drainBase + 60000)
         runOnce(1)
       } else {
         // data phase: one batch when maxFilesPerTrigger=0; for an explicit
         // limit > 1 the time-ordered multi-file contract (doc above)
         // applies across batch boundaries, exactly as for limit = 1
         runOnce(maxFilesPerTrigger)
-        writeSentinel(3, drainBase)    // drain batch 1: watermark → maxTs+2h
-        writeSentinel(6, drainBase + 60000) // drain batch 2: flushes trailing windows
+        writeSentinel(3, drainBase) // watermark → maxTs+2h; no-data batch evicts
         runOnce(1)
       }
       // materialize (localCheckpoint is eager) so the staging dirs can be removed

@@ -242,6 +242,30 @@ object SparkEntry {
         org.apache.spark.sql.Dataset[graft.kg.Trainer.SeqRow]) = cache.get(s, "")
   }
 
+  /** The readout trainer's frozen-encoder feature splits (0–400 / 400–520
+    * ranges; the expensive part is the frozen LSTM forward pass per
+    * example) — [[TrainSeqCache]]'s contract for `kg_train_readout`:
+    * extracted once per session, localCheckpoint preserves partitioning
+    * and row order, so the pid-ordered gradient merge (and the pinned
+    * epoch log) is bit-identical. */
+  private object ReadoutFeatCache {
+    private val cache =
+      new SessionDirCache[(org.apache.spark.sql.Dataset[graft.kg.Trainer.FeatureRow],
+                           org.apache.spark.sql.Dataset[graft.kg.Trainer.FeatureRow])]((s, _) => {
+        import s.implicits._
+        val bundleBc = BundleCache.bc(s)
+        val tr = graft.kg.Trainer.extractFeatures(s,
+          s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+          .localCheckpoint()
+        val dv = graft.kg.Trainer.extractFeatures(s,
+          s.range(400, 520).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+          .localCheckpoint()
+        (tr, dv)
+      })
+    def trainDev(s: SparkSession): (org.apache.spark.sql.Dataset[graft.kg.Trainer.FeatureRow],
+        org.apache.spark.sql.Dataset[graft.kg.Trainer.FeatureRow]) = cache.get(s, "")
+  }
+
   /** Flagship: the full KG-construction pipeline (pages → extract → segment
     * → mention-detect → featurize → score → mask → link → dedup) over the
     * deterministic synthetic corpus. */
@@ -393,10 +417,7 @@ object SparkEntry {
     "kg_train_readout" -> ((s, _) => {
       import s.implicits._
       val bundleBc = BundleCache.bc(s)
-      val trainFeat = graft.kg.Trainer.extractFeatures(s,
-        s.range(400).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
-      val devFeat = graft.kg.Trainer.extractFeatures(s,
-        s.range(400, 520).map(i => graft.kg.Gen.labeledExample(42L, i)), bundleBc)
+      val (trainFeat, devFeat) = ReadoutFeatCache.trainDev(s)
       val result = graft.kg.Trainer.train(s, trainFeat, devFeat, bundleBc, epochs = 8)
       result.log.toDF()
     }),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Round-7 EXTRA benchmarks (guide §1.4) — `Bench.scala` is frozen for
- * measurement, so isolation experiments live here. Two modes:
+ * measurement, so isolation experiments live here. Three modes:
  *
  *   sbt "runMain graft.BenchExtra noop <trials> <q1,q2,...>"
  *     — times each query with the noop sink (computes every column of

@@ -25,17 +25,28 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     tableCache.get(spark, s"$dir/$name.parquet")
 
-  /** Per-(session, dir) artifact cache, weakly keyed by the SESSION so
-    * entries (and any checkpointed blocks they reference) die with the
-    * session instead of pinning a stopped session for the JVM lifetime.
-    * Assumes `dir` contents are immutable for the session's life — true
-    * of the driver's testdata; a corpus rewritten in place mid-session
-    * would be served stale here. */
+  /** Per-(session, dir) artifact cache, keyed by the SESSION. The weak
+    * keying alone cannot evict (cached DataFrames strongly reference their
+    * own session through the value side — the classic WeakHashMap
+    * value-refers-to-key caveat), so `get` additionally PURGES entries
+    * whose SparkContext has stopped: a stopped session's cache — and the
+    * checkpointed blocks it pins — is released on the next access from any
+    * live session instead of living for the JVM lifetime (multi-suite test
+    * JVMs create and stop many sessions). Assumes `dir` contents are
+    * immutable for the session's life — true of the driver's testdata; a
+    * corpus rewritten in place mid-session would be served stale here. */
   private final class SessionDirCache[V](load: (SparkSession, String) => V) {
     private val cache = java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[String, V]]())
     def get(s: SparkSession, dir: String): V = {
+      cache.synchronized {
+        val it = cache.entrySet().iterator()
+        while (it.hasNext) {
+          val k = it.next().getKey
+          if (k != null && k.sparkContext.isStopped) it.remove()
+        }
+      }
       val perSession = {
         val existing = cache.get(s)
         if (existing != null) existing
@@ -62,8 +73,7 @@ object SparkEntry {
     * once per corpus, not once per downstream query. */
   private object SigCache {
     private val cache = new SessionDirCache[DataFrame]((s, dir) =>
-      Dedup.minhashSignatures(
-        s.read.parquet(s"$dir/documents.parquet"), 4).localCheckpoint())
+      Dedup.minhashSignatures(t(s, dir, "documents"), 4).localCheckpoint())
     def sigs(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
   }
 
@@ -75,8 +85,7 @@ object SparkEntry {
     * concat per query. At 100 TB this is a written table from a prior job. */
   private object SpanCache {
     private val cache = new SessionDirCache[DataFrame]((s, dir) =>
-      graft.ops.TextAnalysis.spanDigests(
-        s.read.parquet(s"$dir/documents.parquet"), 20).localCheckpoint())
+      graft.ops.TextAnalysis.spanDigests(t(s, dir, "documents"), 20).localCheckpoint())
     def spans(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
   }
 
@@ -108,7 +117,7 @@ object SparkEntry {
     * Deterministic, so caching cannot change results. */
   private object CentroidCache {
     private val cache = new SessionDirCache[Array[Array[Double]]]((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") =!= 0)
+      val e = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
       graft.ops.Similarity.ivfCentroids(e,
         nlist = graft.ops.Similarity.nlistForCorpus(e.count()))
     })
@@ -127,8 +136,7 @@ object SparkEntry {
     * the kNN join, and any cluster build — not a per-query recompute. */
   private object AnnPairsCache {
     private val cache = new SessionDirCache[DataFrame]((s, dir) =>
-      Similarity.annCandidatePairs(
-        s.read.parquet(s"$dir/embeddings.parquet"), 0.2).localCheckpoint())
+      Similarity.annCandidatePairs(t(s, dir, "embeddings"), 0.2).localCheckpoint())
     def pairs(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
   }
 
@@ -164,7 +172,7 @@ object SparkEntry {
     * the vocab-build job, which downstream jobs read. */
   private object TokAggCache {
     private val cache = new SessionDirCache[DataFrame]((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
+      t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
@@ -179,7 +187,7 @@ object SparkEntry {
   private object WinnowCache {
     private val cache = new SessionDirCache[DataFrame]((s, dir) =>
       graft.ops.TextAnalysis.winnowFingerprints(
-        s, s.read.parquet(s"$dir/documents.parquet")).localCheckpoint())
+        s, t(s, dir, "documents")).localCheckpoint())
     def fps(s: SparkSession, dir: String): DataFrame = cache.get(s, dir)
   }
 
@@ -192,8 +200,7 @@ object SparkEntry {
     * mediaTable — different payloads by design.) */
   private object MediaCache {
     private val synthCache = new SessionDirCache[DataFrame]((s, dir) =>
-      Multimodal.mediaTableSynth(
-        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint())
+      Multimodal.mediaTableSynth(t(s, dir, "documents")).localCheckpoint())
     private val metaCache = new SessionDirCache[DataFrame]((s, dir) =>
       Multimodal.extractMeta(s, synthCache.get(s, dir)).localCheckpoint())
     def synth(s: SparkSession, dir: String): DataFrame = synthCache.get(s, dir)
@@ -500,12 +507,17 @@ object SparkEntry {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
-        (1 to 3).map { variant =>
+        // await ALL variants (Try per future) before surfacing any
+        // failure: rethrowing on the first await would leave the other
+        // variants' epoch jobs running unobserved into the next query
+        val done = (1 to 3).map { variant =>
           scala.concurrent.Future(
             graft.kg.Trainer.trainFullMut(s, variant, trainSeq, devSeq, bundleBc, epochs = 3)
               .log.toDF().withColumn("variant", lit(variant)))
-        }.map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
-          .reduce(_ unionByName _)
+        }.map(f => scala.util.Try(
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+        done.collectFirst { case scala.util.Failure(e) => throw e }
+        done.map(_.get).reduce(_ unionByName _)
       } finally pool.shutdown()
     }),
 

@@ -297,11 +297,16 @@ object Dedup {
    *  - small-star: every node and its smaller-or-equal neighbors re-attach
    *    to the minimum among them.
    *
-   * Both rounds are a groupBy-min + join — no neighborhood collect_list,
-   * so a web-scale hub node never materializes its adjacency in one task.
-   * Rounds are localCheckpoint-ed (O(1) lineage); convergence = canonical
-   * edge set unchanged. At the fixed point every component is a star on
-   * its minimum id, so the label join is exact.
+   * Each star step computes the per-neighborhood minimum as a WINDOW min
+   * over one u-keyed exchange (the former groupBy-min + join paid two
+   * exchanges of the symmetric edge list per step — and its join probe
+   * side already routed a hub node's full adjacency to one reduce
+   * partition, so the skew posture is unchanged: a hub key lands in one
+   * task either way, with the window buffering through Spark's spillable
+   * row array rather than an in-memory collect_list). Rounds are
+   * localCheckpoint-ed (O(1) lineage); convergence = canonical edge set
+   * unchanged. At the fixed point every component is a star on its
+   * minimum id, so the label join is exact.
    */
   def connectedComponentsStar(pairs: DataFrame, nodes: DataFrame,
       maxIter: Int = 50): DataFrame = {

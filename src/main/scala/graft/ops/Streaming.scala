@@ -107,6 +107,12 @@ object Streaming {
 
       def runOnce(filesPerTrigger: Int): Unit = {
         val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        // the drain REQUIRES the closing no-data micro-batch (doc above):
+        // a session tuned with noDataMicroBatches=false would silently
+        // never evict the trailing windows, so pin it for the run
+        val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val prevNoData = spark.conf.get(noDataKey)
+        spark.conf.set(noDataKey, "true")
         if (statePartitions > 0)
           spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
         try {
@@ -128,7 +134,10 @@ object Streaming {
             q.recentProgress.foreach(p => p.stateOperators.foreach(so =>
               m.getAndUpdate(cur => math.max(cur, so.numRowsTotal))))
           }
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          spark.conf.set(noDataKey, prevNoData)
+        }
       }
       // sentinel = the anchor row shifted +h hours with the reserved
       // event_type; its own window end stays above the advanced watermark,

@@ -29,6 +29,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    var failed = false
     names.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
         case Some(fn) =>
@@ -40,11 +41,15 @@ object PlanDump {
             println(s"[plandump] wrote ${name}_$tag.txt")
           } catch {
             case e: Throwable =>
+              failed = true
               System.err.println(s"[plandump] $name failed: ${e.getMessage}")
           }
-        case None => System.err.println(s"[plandump] unknown query: $name")
+        case None =>
+          failed = true
+          System.err.println(s"[plandump] unknown query: $name")
       }
     }
     spark.stop()
+    if (failed) sys.exit(1) // a plan-evidence run with missing files must not look clean
   }
 }
